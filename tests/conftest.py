@@ -1,0 +1,18 @@
+"""Test configuration: force CPU with an 8-device virtual mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests run on a
+virtual CPU mesh exactly as the driver's dryrun does.  The axon TPU plugin
+registers itself via sitecustomize and overrides JAX_PLATFORMS, so the
+platform is also forced through jax.config before any backend init.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,195 @@
+"""Derived flow fields and body forces/moments.
+
+TPU-native re-design of src/Metrics.jl: every metric is a whole-array
+stencil expression; body forces are fused multiply-reduce programs that
+keep the reduction on device and return a tiny vector.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .grid import shift, interior, interior_view, loc_grid
+from .body import measure, kern
+
+__all__ = ["ke", "grad_tensor", "strain_rate", "lambda2", "curl", "omega",
+           "omega_mag", "omega_theta", "nds", "pressure_force",
+           "viscous_force", "total_force", "pressure_moment"]
+
+
+def ke(u, U=None):
+    """Cell-centered kinetic energy ``½‖u-U‖²`` (reference `ke`, Metrics.jl:19-21).
+
+    Face pairs are averaged to the center: ``0.125*Σᵢ(uᵢ[I]+uᵢ[I+δᵢ]-2Uᵢ)²``.
+    Returns a scalar field with zero ghosts.
+    """
+    D = u.shape[0]
+    s = jnp.zeros(u.shape[1:], u.dtype)
+    for i in range(D):
+        Ui = 0.0 if U is None else U[i]
+        s = s + (u[i] + shift(u[i], i, +1) - 2.0 * Ui) ** 2
+    out = jnp.zeros_like(s)
+    return out.at[interior(D)].set(0.125 * s[interior(D)])
+
+
+def _dudx(i, j, u):
+    """∂uᵢ/∂xⱼ at cell centers (reference `∂(i,j,I,u)`, Metrics.jl:28-30).
+
+    Inline terms use the compact staggered difference; cross terms the wider
+    4-point average."""
+    if i == j:
+        return shift(u[i], i, +1) - u[i]
+    return (shift(u[i], j, +1) + shift(shift(u[i], j, +1), i, +1)
+            - shift(u[i], j, -1) - shift(shift(u[i], j, -1), i, +1)) / 4.0
+
+
+def grad_tensor(u):
+    """Velocity gradient ∂uᵢ/∂xⱼ as a (D,D,*S) field."""
+    D = u.shape[0]
+    return jnp.stack([jnp.stack([_dudx(i, j, u) for j in range(D)]) for i in range(D)])
+
+
+def strain_rate(u):
+    """Rate-of-strain tensor ``∂ᵢuⱼ+∂ⱼuᵢ`` (reference `∇²u`, Metrics.jl:107-108)."""
+    g = grad_tensor(u)
+    return g + jnp.swapaxes(g, 0, 1)
+
+
+def _sym3_eigvals_mid(A):
+    """Middle eigenvalue of a symmetric 3×3 matrix field, closed form.
+
+    Trigonometric method (no LAPACK on the grid — pure VPU math).
+    ``A`` has shape (3,3,*S)."""
+    q = (A[0, 0] + A[1, 1] + A[2, 2]) / 3.0
+    B00, B11, B22 = A[0, 0] - q, A[1, 1] - q, A[2, 2] - q
+    p2 = (B00 ** 2 + B11 ** 2 + B22 ** 2
+          + 2.0 * (A[0, 1] ** 2 + A[0, 2] ** 2 + A[1, 2] ** 2))
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    psafe = jnp.where(p == 0, 1.0, p)
+    # det(B)/2 / p^3
+    detB = (B00 * (B11 * B22 - A[1, 2] ** 2)
+            - A[0, 1] * (A[0, 1] * B22 - A[1, 2] * A[0, 2])
+            + A[0, 2] * (A[0, 1] * A[1, 2] - B11 * A[0, 2]))
+    rr = jnp.clip(detB / (2.0 * psafe ** 3), -1.0, 1.0)
+    phi = jnp.arccos(rr) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    return e2
+
+
+def lambda2(u):
+    """λ₂ vortex criterion (reference Metrics.jl:40-44): middle eigenvalue
+    of S²+Ω² from the velocity-gradient tensor.  3D only."""
+    g = grad_tensor(u)
+    S = 0.5 * (g + jnp.swapaxes(g, 0, 1))
+    O = 0.5 * (g - jnp.swapaxes(g, 0, 1))
+    M = jnp.einsum("ik...,kj...->ij...", S, S) + jnp.einsum("ik...,kj...->ij...", O, O)
+    out = _sym3_eigvals_mid(M)
+    z = jnp.zeros_like(out)
+    return z.at[interior(u.shape[0])].set(out[interior(u.shape[0])])
+
+
+def curl(i, u):
+    """Edge vorticity component i (reference `curl`, Metrics.jl:54).
+
+    ``ω_i = ∂ⱼu_k - ∂_k u_j`` evaluated at the cell edge: each term is the
+    backward difference of the face velocity, ``∂(j, CI(I,k), u) =
+    u_k[I]-u_k[I-δⱼ]``."""
+    D = u.shape[0]
+    if D == 2:
+        if i != 2:
+            raise ValueError("2D vorticity is the z-component (i=2)")
+        j, k = 0, 1
+        return (u[k] - shift(u[k], j, -1)) - (u[j] - shift(u[j], k, -1))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    return (u[k] - shift(u[k], j, -1)) - (u[j] - shift(u[j], k, -1))
+
+
+def omega(u):
+    """Center vorticity vector (reference `ω`, Metrics.jl:60): ``ω_i =
+    ∂ⱼu_k - ∂_k u_j`` with the center-gradient stencil."""
+    assert u.shape[0] == 3
+    comps = []
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        comps.append(_dudx(k, j, u) - _dudx(j, k, u))
+    return jnp.stack(comps)
+
+
+def omega_mag(u):
+    """‖ω‖ at cell centers (reference Metrics.jl:66)."""
+    w = omega(u)
+    return jnp.sqrt(jnp.sum(w * w, axis=0))
+
+
+def omega_theta(u, z_axis, center):
+    """Azimuthal vorticity ω·θ̂ around axis ``z`` through ``center``
+    (reference Metrics.jl:73-77)."""
+    D = u.shape[0]
+    assert D == 3
+    S = u.shape[1:]
+    x = jnp.moveaxis(loc_grid(S, None, u.dtype), -1, 0)  # (3,*S)
+    z = jnp.asarray(z_axis, u.dtype).reshape(3, *([1] * len(S)))
+    c = jnp.asarray(center, u.dtype).reshape(3, *([1] * len(S)))
+    rel = x - c
+    theta = jnp.cross(z, rel, axisa=0, axisb=0, axisc=0)
+    n = jnp.sqrt(jnp.sum(theta * theta, axis=0))
+    w = omega(u)
+    dot = jnp.sum(theta * w, axis=0)
+    return jnp.where(n <= jnp.finfo(u.dtype).eps, 0.0, dot / jnp.where(n == 0, 1.0, n))
+
+
+def nds(body, S, t, dtype):
+    """BDIM-masked surface normal field ``n̂·kern(clamp(d,-1,1))`` at cell
+    centers (reference `nds`, Metrics.jl:84-87).  Shape (D,*S)."""
+    D = len(S)
+    pts = loc_grid(S, None, dtype).reshape(-1, D)
+    t_ = jnp.asarray(t, dtype)
+    d, n, _ = jax.vmap(lambda x: measure(body, x, t_, 1.0))(pts)
+    w = kern(jnp.clip(d, -1, 1))
+    return jnp.moveaxis((n * w[:, None]).reshape(S + (D,)), -1, 0).astype(dtype)
+
+
+def pressure_force(p, body, t=0.0):
+    """Σ p·n̂ ds over the body surface (reference Metrics.jl:94-100)."""
+    S = p.shape
+    D = len(S)
+    nd = nds(body, S, t, p.dtype)
+    return jnp.stack([jnp.sum(interior_view(p * nd[i], D)) for i in range(D)])
+
+
+def viscous_force(u, nu, body, t=0.0):
+    """Σ -ν(∇u+∇uᵀ)·n̂ ds over the surface (reference Metrics.jl:114-120)."""
+    D = u.shape[0]
+    S = u.shape[1:]
+    nd = nds(body, S, t, u.dtype)
+    sr = strain_rate(u)
+    out = []
+    for i in range(D):
+        tot = jnp.zeros(S, u.dtype)
+        for j in range(D):
+            tot = tot + sr[i, j] * nd[j]
+        out.append(-nu * jnp.sum(interior_view(tot, D)))
+    return jnp.stack(out)
+
+
+def total_force(u, p, nu, body, t=0.0):
+    """Pressure + viscous force (reference Metrics.jl:127)."""
+    return pressure_force(p, body, t) + viscous_force(u, nu, body, t)
+
+
+def pressure_moment(x0, p, body, t=0.0):
+    """Pressure moment about ``x0`` (reference Metrics.jl:135-141).
+
+    Returns a scalar in 2D (z-moment) and a 3-vector in 3D."""
+    S = p.shape
+    D = len(S)
+    nd = nds(body, S, t, p.dtype)
+    x = jnp.moveaxis(loc_grid(S, None, p.dtype), -1, 0)
+    rel = x - jnp.asarray(x0, p.dtype).reshape(D, *([1] * D))
+    if D == 2:
+        cr = rel[0] * nd[1] - rel[1] * nd[0]
+        return jnp.sum(interior_view(p * cr, D))
+    cr = jnp.cross(rel, nd, axisa=0, axisb=0, axisc=0)
+    return jnp.stack([jnp.sum(interior_view(p * cr[i], D)) for i in range(D)])

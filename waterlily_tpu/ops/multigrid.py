@@ -1,0 +1,186 @@
+"""Geometric multigrid over nested Poisson levels.
+
+TPU-native re-design of src/MultiLevelPoisson.jl.  The level stack is static
+at trace time (derived from the grid shape), the V-cycle recursion is
+unrolled in Python, and restriction/prolongation are reshape-sum / repeat
+ops that XLA lowers to cheap on-chip data movement.
+
+Grid transfer index maps (reference :1-2, 0-based here):
+- coarse interior cell ``c`` has fine children ``{2c-1, 2c}`` per axis;
+- fine cell ``f`` maps down to coarse ``(f+1)//2``.
+
+Level sizes: a level of ghost-padded size ``S`` coarsens to ``1 + S//2``
+while every ``S`` is even and >4, with at most 10 coarsenings and at least
+3 levels (reference :36-57, "size = a·2ⁿ, n>2").
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..grid import interior, interior_view
+from .bc import bc_vector, bc_scalar_periodic
+from .poisson import PoissonLevel, make_level, residual, jacobi, pcg, increment
+
+__all__ = ["n_levels", "coarse_shape", "restrict", "restrict_L", "prolongate",
+           "build_levels", "update_levels", "vcycle", "ml_solve"]
+
+MAX_LEVELS = 10
+
+
+def _divisible(s: int) -> bool:
+    return s % 2 == 0 and s > 4
+
+
+def coarse_shape(S: tuple) -> tuple:
+    return tuple(1 + s // 2 for s in S)
+
+
+def n_levels(S: tuple) -> int:
+    """Static level count for ghost-padded shape S (reference :51-57)."""
+    n = 1
+    while all(_divisible(s) for s in S) and n <= MAX_LEVELS:
+        S = coarse_shape(S)
+        n += 1
+    if n <= 2:
+        raise ValueError(
+            "MultiLevelPoisson requires interior size = a*2^n with n>2 "
+            f"(got ghost-padded shape {S})")
+    return n
+
+
+def restrict(b: jax.Array) -> jax.Array:
+    """Sum-of-children restriction of a scalar (reference ``restrict``, :3-9).
+
+    Fine interior (2M per axis) -> coarse interior (M per axis); coarse
+    ghosts are zero (residuals live on the interior only).
+    """
+    D = b.ndim
+    S = b.shape
+    v = interior_view(b, D)
+    for d in range(D):
+        M = (S[d] - 2) // 2
+        sh = v.shape[:d] + (M, 2) + v.shape[d + 1:]
+        v = v.reshape(sh).sum(axis=d + 1)
+    out = jnp.zeros(coarse_shape(S), b.dtype)
+    return out.at[interior(D)].set(v)
+
+
+def restrict_L(L: jax.Array, perdir: tuple = ()) -> jax.Array:
+    """Face-coefficient restriction (reference ``restrictL``, :10-16,26-32).
+
+    Component ``i`` sums the 2^(D-1) transverse children of the lower child
+    face and scales by 0.5; then the vector BC zeroes the wall-normal ghosts.
+    """
+    D = L.shape[0]
+    S = L.shape[1:]
+    comps = []
+    for i in range(D):
+        v = interior_view(L[i], D)
+        for d in range(D):
+            M = (S[d] - 2) // 2
+            if d == i:
+                # lower child only: fine interior indices 0,2,4,... of the view
+                v = jax.lax.slice_in_dim(v, 0, 2 * M, stride=2, axis=d)
+            else:
+                sh = v.shape[:d] + (M, 2) + v.shape[d + 1:]
+                v = v.reshape(sh).sum(axis=d + 1)
+        comps.append(jnp.zeros(coarse_shape(S), L.dtype).at[interior(D)].set(0.5 * v))
+    a = jnp.stack(comps, axis=0)
+    return bc_vector(a, (0.0,) * D, save_exit=False, perdir=perdir)
+
+
+def prolongate(x_coarse: jax.Array, S_fine: tuple) -> jax.Array:
+    """Piecewise-constant injection coarse->fine (reference :34).
+
+    Fine ghosts are zero — the correction ``ϵ`` is an interior field.
+    """
+    D = x_coarse.ndim
+    v = interior_view(x_coarse, D)
+    for d in range(D):
+        v = jnp.repeat(v, 2, axis=d)
+    out = jnp.zeros(S_fine, x_coarse.dtype)
+    return out.at[interior(D)].set(v)
+
+
+def build_levels(mu0: jax.Array, perdir: tuple = ()) -> tuple:
+    """Build the static level stack from the fine face coefficients.
+
+    The fine ``L`` *is* the BDIM zeroth moment ``μ₀`` (src/WaterLily.jl:77);
+    each coarse ``L`` is its restriction (reference ``restrictML``, :18-25).
+    """
+    S = mu0.shape[1:]
+    nlev = n_levels(S)
+    levels = [make_level(mu0, perdir)]
+    L = mu0
+    for _ in range(nlev - 1):
+        L = restrict_L(L, perdir)
+        levels.append(make_level(L, perdir))
+    return tuple(levels)
+
+
+def update_levels(levels: tuple, mu0: jax.Array) -> tuple:
+    """Re-restrict coefficients after body motion (reference ``update!``, :62-68)."""
+    perdir = levels[0].perdir
+    out = [make_level(mu0, perdir)]
+    L = mu0
+    for _ in range(len(levels) - 1):
+        L = restrict_L(L, perdir)
+        out.append(make_level(L, perdir))
+    return tuple(out)
+
+
+def vcycle(levels: tuple, l: int, x, r):
+    """One V-cycle from level ``l`` (reference ``Vcycle!``, :70-82):
+    Jacobi pre-smooth, restrict residual, recurse, PCG-smooth coarse,
+    prolongate and increment.  Unrolled over the static level stack."""
+    fine, coarse = levels[l], levels[l + 1]
+    x, r = jacobi(fine, x, r)
+    rc = restrict(r)
+    xc = jnp.zeros_like(coarse.D)
+    if l + 1 < len(levels) - 1:
+        xc, rc = vcycle(levels, l + 1, xc, rc)
+    xc, rc = pcg(coarse, xc, rc)
+    eps = prolongate(xc, x.shape)
+    x, r = increment(fine, x, r, eps)
+    return x, r
+
+
+def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False):
+    """Multigrid pressure solve (reference ``solver!``, :87-99).
+
+    V-cycle + fine-level PCG per outer iteration, at least one iteration,
+    convergence test ``r·r < tol`` fully on device.  Returns ``(x, r, n)``,
+    plus a ``(itmx+1, 2)`` array of per-iteration ``(r∞, r·r)`` rows when
+    ``trace`` (the reference's ``@log`` pressure-solver observability,
+    src/util.jl:4-24).
+    """
+    fine = levels[0]
+    r = residual(fine, x, z)
+
+    def log_row(r):
+        return jnp.stack([jnp.max(jnp.abs(r)), jnp.vdot(r, r)]).astype(x.dtype)
+
+    tr = jnp.zeros((itmx + 1, 2), x.dtype)
+    if trace:
+        tr = tr.at[0].set(log_row(r))
+
+    def cond(c):
+        _, _, n, r2, _ = c
+        return (n == 0) | ((r2 >= tol) & (n < itmx))
+
+    def body(c):
+        x, r, n, _, tr = c
+        x, r = vcycle(levels, 0, x, r)
+        x, r = pcg(fine, x, r)
+        r2 = jnp.vdot(r, r)
+        if trace:
+            tr = tr.at[n + 1].set(log_row(r))
+        return (x, r, n + 1, r2, tr)
+
+    x, r, n, r2, tr = jax.lax.while_loop(
+        cond, body, (x, r, jnp.int32(0), jnp.vdot(r, r), tr))
+    x = bc_scalar_periodic(x, fine.perdir)
+    if trace:
+        return x, r, n, tr
+    return x, r, n

@@ -1,0 +1,181 @@
+"""User-facing Simulation API.
+
+TPU-native re-design of the reference entry point (src/WaterLily.jl:59-121).
+A `Simulation` couples the velocity/length scales, the flow state, the body,
+and the multigrid level stack.  The whole time step — optional body
+re-measurement, BDIM predictor/corrector, two multigrid pressure solves and
+the CFL reduction — is one jitted XLA program; the host only checks the
+dimensionless-time stopping criterion between steps (exactly the data the
+reference syncs for its `while sim_time < t_end` loop).
+
+For benchmarking, `steps(n)` advances n steps under one `lax.scan` with no
+host synchronisation at all.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .flow import FlowConfig, FlowState, flow_init, mom_step
+from .body import NoBody, measure_fields
+from .ops.multigrid import build_levels
+from .ops.convect import quick
+
+__all__ = ["Simulation", "sim_time"]
+
+
+class Simulation:
+    """Immersed-boundary incompressible flow simulation.
+
+    Arguments mirror the reference constructor (src/WaterLily.jl:33-55):
+
+    - ``dims``: interior grid dimensions (2- or 3-tuple).
+    - ``u_BC``: domain boundary velocity — tuple, or time function ``f(i,t)``.
+    - ``L``: length scale; ``U``: velocity scale (default ``|u_BC|``).
+    - ``dt``: initial time step; ``nu``: kinematic viscosity.
+    - ``g``: body acceleration ``g(i,t)``; ``epsilon``: BDIM kernel width.
+    - ``perdir``: periodic directions (0-based); ``exitBC``: convective outlet.
+    - ``ulam``: initial velocity field ``uλ(i,x)``; ``body``: immersed geometry.
+    - ``dtype``: array dtype (any float; use f32 on TPU).
+    """
+
+    def __init__(self, dims, u_BC, L, dt=0.25, nu=0.0, g=None, U=None,
+                 epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
+                 dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
+                 log=False):
+        D = len(dims)
+        if callable(u_BC) and callable(ulam):
+            raise ValueError("u_BC and ulam cannot both be functions")
+        if callable(u_BC) and U is None:
+            raise ValueError("U must be specified when u_BC is a function")
+        self.U = float(U) if U is not None else math.sqrt(sum(v * v for v in u_BC))
+        self.L = float(L)
+        self.epsilon = float(epsilon)
+        self.body = NoBody() if body is None else body
+        S = tuple(n + 2 for n in dims)
+        self.cfg = FlowConfig(D=D, S=S, nu=float(nu), U=u_BC, g=g,
+                              perdir=tuple(perdir), exitBC=bool(exitBC),
+                              dtype=dtype, limiter=limiter, tol=float(tol),
+                              itmx=int(itmx), log=bool(log))
+        state = flow_init(self.cfg, ulam, dt)
+        V, m0, m1, _ = measure_fields(self.body, S, 0.0, self.epsilon,
+                                      self.cfg.perdir, self.cfg.exitBC, dtype)
+        self.flow = state._replace(V=V, mu0=m0, mu1=m1)
+        self.levels = build_levels(self.flow.mu0, self.cfg.perdir)
+
+        # host-side observability mirrors of flow.Δt and pois.n
+        self.dts = [float(dt)]
+        self.pois_n = []
+        self.res_log = []
+
+        cfg, eps_, body_ = self.cfg, self.epsilon, self.body
+
+        def step_static(state, levels):
+            return mom_step(cfg, levels, state)
+
+        def step_remeasure(state, levels):
+            V, m0, m1, _ = measure_fields(body_, cfg.S, state.t + state.dt,
+                                          eps_, cfg.perdir, cfg.exitBC,
+                                          cfg.dtype)
+            state = state._replace(V=V, mu0=m0, mu1=m1)
+            levels = build_levels(m0, cfg.perdir)
+            return mom_step(cfg, levels, state)
+
+        self._step_static = jax.jit(step_static)
+        self._step_remeasure = jax.jit(step_remeasure)
+
+        def scan_steps(state, levels, n, remeasure):
+            fn = step_remeasure if remeasure else step_static
+            def body_fn(s, _):
+                s, aux = fn(s, levels)
+                return s, aux["pois_n"]
+            return jax.lax.scan(body_fn, state, None, length=n)
+
+        self._scan_steps = jax.jit(scan_steps, static_argnums=(2, 3))
+
+    # -- observability -----------------------------------------------------
+
+    @property
+    def time(self):
+        """Accumulated simulation time (sum of completed steps)."""
+        return float(self.flow.t)
+
+    @property
+    def sim_time(self):
+        """Dimensionless time t·U/L (reference src/WaterLily.jl:89)."""
+        return self.time * self.U / self.L
+
+    # -- stepping ----------------------------------------------------------
+
+    def measure(self, t=None):
+        """Re-measure the body and refresh the Poisson coefficients
+        (reference `measure!(sim)`, src/WaterLily.jl:116-119)."""
+        if t is None:
+            t = float(self.flow.t) + float(self.flow.dt)
+        V, m0, m1, _ = measure_fields(self.body, self.cfg.S, t, self.epsilon,
+                                      self.cfg.perdir, self.cfg.exitBC,
+                                      self.cfg.dtype)
+        self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1)
+        self.levels = build_levels(m0, self.cfg.perdir)
+
+    def _record(self, aux):
+        self.dts.append(float(self.flow.dt))
+        self.pois_n.append(np.asarray(aux["pois_n"]))
+        if self.cfg.log:
+            self.res_log.append(np.asarray(aux["res_trace"]))
+
+    def step(self, remeasure=True):
+        """Advance one time step (reference `sim_step!(sim)`, :106-109)."""
+        remeasure = remeasure and not isinstance(self.body, NoBody)
+        fn = self._step_remeasure if remeasure else self._step_static
+        self.flow, aux = fn(self.flow, self.levels)
+        self._record(aux)
+        return self
+
+    def sim_step(self, t_end=None, remeasure=True, max_steps=None,
+                 verbose=False):
+        """Integrate to dimensionless time ``t_end`` (reference :98-105)."""
+        if t_end is None:
+            return self.step(remeasure)
+        n = 0
+        while self.sim_time < t_end and (max_steps is None or n < max_steps):
+            self.step(remeasure)
+            n += 1
+            if verbose:
+                print(f"tU/L={self.sim_time:.4f}, Δt={self.dts[-1]:.3f}")
+        return self
+
+    def steps(self, n, remeasure=True):
+        """Advance ``n`` steps in a single on-device `lax.scan` (no host sync
+        until the final state is fetched) — the benchmarking fast path."""
+        remeasure = remeasure and not isinstance(self.body, NoBody)
+        self.flow, pois_n = self._scan_steps(self.flow, self.levels, int(n),
+                                             bool(remeasure))
+        # reconstruct host history lazily (single device sync)
+        for row in np.asarray(pois_n):
+            self.pois_n.append(row)
+        self.dts.append(float(self.flow.dt))
+        return self
+
+    def write_log(self, fname="WaterLily.log"):
+        """Dump captured pressure-solver residual traces in the reference's
+        log format (src/util.jl:16-24): ``p/c, iter, r∞, r₂`` rows."""
+        if not self.cfg.log:
+            raise ValueError("construct Simulation(log=True) to capture traces")
+        with open(fname, "w") as f:
+            f.write("p/c, iter, r∞, r₂\n")
+            for step_tr in self.res_log:
+                for phase, tr in zip("pc", step_tr):
+                    f.write(f"{phase}\n")
+                    for it, (linf_, r2) in enumerate(tr):
+                        if it > 0 and linf_ == 0 and r2 == 0:
+                            break
+                        f.write(f", {it}, {linf_}, {r2}\n")
+
+
+def sim_time(sim: Simulation) -> float:
+    return sim.sim_time
