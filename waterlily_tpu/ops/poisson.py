@@ -14,10 +14,9 @@ Design differences from the reference, driven by XLA semantics:
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..grid import shift, interior, interior_view, inside_count
 from .bc import bc_scalar_periodic
@@ -26,12 +25,15 @@ __all__ = ["PoissonLevel", "make_level", "mult", "residual", "jacobi", "pcg",
            "increment", "poisson_solve"]
 
 
-class PoissonLevel(NamedTuple):
-    """One multigrid level: face coefficients + derived (inverse) diagonal."""
+@struct.dataclass
+class PoissonLevel:
+    """One multigrid level: face coefficients + derived (inverse) diagonal.
+
+    ``perdir`` is static pytree metadata (it selects program structure)."""
     L: jax.Array      # (D, *S) lower-diagonal face coefficients
     D: jax.Array      # (*S) diagonal, zero in ghosts
     iD: jax.Array     # (*S) guarded inverse diagonal (0 inside bodies)
-    perdir: tuple = ()
+    perdir: tuple = struct.field(pytree_node=False, default=())
 
 
 def _diag(L: jax.Array) -> jax.Array:
