@@ -1,0 +1,69 @@
+"""I/O round-trip tests — oracle: reference maintests.jl:420-443 (VTK restart)
+plus the stronger full-pytree checkpoint this framework adds."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waterlily_tpu.body import AutoBody
+from waterlily_tpu.simulation import Simulation
+from waterlily_tpu.io.checkpoint import save_checkpoint, restart_sim
+from waterlily_tpu.io.vtk import VTKWriter, read_vti, restart_from_vtk, write_vti
+
+f32 = jnp.float32
+
+
+def sphere_sim(D=2, radius=8):
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - (2 * radius + 1.5)) ** 2)) - radius)
+    dims = (6 * radius, 4 * radius) if D == 2 else (6 * radius, 4 * radius, radius)
+    U = (1, 0) if D == 2 else (1, 0, 0)
+    return Simulation(dims, U, radius, body=body, nu=radius / 250, dtype=f32)
+
+
+@pytest.mark.parametrize("D", [2, 3])
+def test_vti_roundtrip(tmp_path, D):
+    S = (8, 6) if D == 2 else (8, 6, 5)
+    rng = np.random.default_rng(0)
+    p = rng.normal(size=S).astype(np.float32)
+    u = rng.normal(size=(D,) + S).astype(np.float32)
+    f = str(tmp_path / "t.vti")
+    write_vti(f, {"u": u, "p": p})
+    back = read_vti(f)
+    assert np.array_equal(back["p"], p)
+    assert np.array_equal(back["u"], u)
+
+
+@pytest.mark.parametrize("D", [2, 3])
+def test_vtk_restart(tmp_path, D):
+    # mirror reference VTKExt test: run, write, restart a fresh sim, compare
+    os.chdir(tmp_path)
+    sim = sphere_sim(D)
+    wr = VTKWriter(f"test_vtk_reader_{D}", dir=str(tmp_path / "TEST_DIR"))
+    sim.sim_step(0.02)
+    wr.write(sim)
+    wr.close()
+
+    restart = sphere_sim(D)
+    restart_from_vtk(restart, f"test_vtk_reader_{D}.pvd")
+
+    assert np.array_equal(np.asarray(sim.flow.p), np.asarray(restart.flow.p))
+    assert np.array_equal(np.asarray(sim.flow.u), np.asarray(restart.flow.u))
+    assert np.array_equal(np.asarray(sim.flow.mu0), np.asarray(restart.flow.mu0))
+    assert abs(sim.sim_time - restart.sim_time) < 1e-3
+
+
+@pytest.mark.parametrize("D", [2])
+def test_checkpoint_roundtrip(tmp_path, D):
+    sim = sphere_sim(D)
+    sim.sim_step(0.02)
+    f = str(tmp_path / "ckpt.npz")
+    save_checkpoint(f, sim)
+    restart = sphere_sim(D)
+    restart_sim(restart, f)
+    for field in ("u", "p", "V", "mu0", "mu1"):
+        assert np.array_equal(np.asarray(getattr(sim.flow, field)),
+                              np.asarray(getattr(restart.flow, field))), field
+    assert float(sim.flow.dt) == float(restart.flow.dt)
+    assert float(sim.flow.t) == float(restart.flow.t)
+    assert sim.dts == restart.dts

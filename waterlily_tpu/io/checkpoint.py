@@ -1,0 +1,54 @@
+"""Pytree checkpoint/restore for simulation state.
+
+TPU-native equivalent of the reference's VTK-based restart
+(ext/WaterLilyReadVTKExt.jl): the full `FlowState` pytree plus host-side
+histories are saved, so restart is bit-exact for *every* field (the
+reference restores only p/u and re-measures μ₀).  Plain `.npz` container —
+no external services, works on any backend.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..flow import FlowState
+
+__all__ = ["save_checkpoint", "load_checkpoint", "restart_sim"]
+
+_FIELDS = ("u", "p", "V", "mu0", "mu1", "dt", "t")
+
+
+def save_checkpoint(fname: str, sim) -> None:
+    """Save a Simulation's full state + histories to ``fname`` (.npz)."""
+    arrays = {f: np.asarray(getattr(sim.flow, f)) for f in _FIELDS}
+    arrays["dts"] = np.asarray(sim.dts)
+    arrays["pois_n"] = (np.stack(sim.pois_n) if sim.pois_n
+                        else np.zeros((0, 2), np.int32))
+    np.savez(fname, **arrays)
+
+
+def load_checkpoint(fname: str):
+    """Load arrays saved by `save_checkpoint`."""
+    with np.load(fname) as data:
+        return {k: data[k] for k in data.files}
+
+
+def restart_sim(sim, fname: str):
+    """Restore a Simulation in place from a checkpoint.
+
+    The grid shape must match (as the reference asserts on restart,
+    ext/WaterLilyReadVTKExt.jl:33)."""
+    data = load_checkpoint(fname)
+    if tuple(data["p"].shape) != sim.cfg.S:
+        raise ValueError(f"checkpoint grid {data['p'].shape} != sim grid {sim.cfg.S}")
+    dtype = sim.cfg.dtype
+    sim.flow = FlowState(
+        u=jnp.asarray(data["u"], dtype), p=jnp.asarray(data["p"], dtype),
+        V=jnp.asarray(data["V"], dtype), mu0=jnp.asarray(data["mu0"], dtype),
+        mu1=jnp.asarray(data["mu1"], dtype), dt=jnp.asarray(data["dt"], dtype),
+        t=jnp.asarray(data["t"], dtype))
+    from ..ops.multigrid import build_levels
+    sim.levels = build_levels(sim.flow.mu0, sim.cfg.perdir)
+    sim.dts = [float(x) for x in data["dts"]]
+    sim.pois_n = [row for row in data["pois_n"]]
+    return sim
