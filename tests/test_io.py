@@ -49,7 +49,11 @@ def test_vtk_restart(tmp_path, D):
 
     assert np.array_equal(np.asarray(sim.flow.p), np.asarray(restart.flow.p))
     assert np.array_equal(np.asarray(sim.flow.u), np.asarray(restart.flow.u))
-    assert np.array_equal(np.asarray(sim.flow.mu0), np.asarray(restart.flow.mu0))
+    # μ₀ is *re-measured* on restart (reference semantics, ReadVTKExt.jl:28-45);
+    # jit-vs-eager fusion may differ by a ULP, so compare to tolerance.  The
+    # npz checkpoint path below is bit-exact for every field.
+    assert np.allclose(np.asarray(sim.flow.mu0), np.asarray(restart.flow.mu0),
+                       atol=1e-6)
     assert abs(sim.sim_time - restart.sim_time) < 1e-3
 
 

@@ -70,8 +70,8 @@ def _face_flux(u, i, j, nu, periodic, limiter):
     cd = 0.5 * (f + fm1)
     if periodic:
         # ϕuP: far-upwind point of face 1 wraps to interior plane S-3
-        wrap = jnp.take(f, jnp.array([S[aj] - 3]), axis=aj)
-        fm2 = jnp.where(k == 1, wrap, fm2)
+        # (expressed as a roll so the op stays scatter-free under SPMD)
+        fm2 = jnp.where(k == 1, shift(f, aj, S[aj] - 4), fm2)
         pos = limiter(fm2, fm1, f)
         neg = limiter(fp1, f, fm1)
     else:
@@ -80,8 +80,7 @@ def _face_flux(u, i, j, nu, periodic, limiter):
     flux = jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
     if periodic:
         # upperBoundary! Val{true}: top face flux copies face 1 (Flow.jl:60)
-        top = jnp.take(flux, jnp.array([1]), axis=aj)
-        flux = flux.at[plane(D, aj, S[aj] - 1)].set(top[plane(D, aj, 0)])
+        flux = jnp.where(k == S[aj] - 1, shift(flux, aj, -(S[aj] - 2)), flux)
     return flux
 
 

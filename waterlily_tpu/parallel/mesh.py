@@ -1,13 +1,17 @@
-"""Spatial domain decomposition over a JAX device mesh.
+"""Spatial domain decomposition over a JAX device mesh (GSPMD path).
 
 The reference is single-device only (multi-GPU is unmerged upstream work,
-README.md:157) — this module is the TPU-native scaling path it lacks:
-fields are sharded along spatial axes of a `jax.sharding.Mesh`, the jitted
-step runs under GSPMD, and XLA inserts the halo exchanges for the stencil
-shifts and the collectives for the solver dot products automatically over
-ICI.  Coarse multigrid levels whose interiors are smaller than the mesh are
-replicated (their work is negligible; this keeps the per-level collectives
-cheap).
+README.md:157) — this module is the TPU-native scaling path it lacks.
+Fields are annotated with `with_sharding_constraint` along spatial mesh
+axes *inside* the jitted step; XLA's SPMD partitioner then inserts the halo
+exchanges for stencil shifts and the psum collectives for solver dot
+products over ICI automatically.
+
+Ghost-padded shapes (N+2) are never divisible by the mesh, so constraints
+(which tolerate uneven shards via padding) are used instead of explicit
+input shardings.  Coarse multigrid levels whose interiors are smaller than
+the mesh are constrained to replicated — their work is negligible and this
+keeps per-V-cycle collectives cheap.
 """
 from __future__ import annotations
 
@@ -16,10 +20,10 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..flow import FlowState
+from ..flow import FlowState, mom_step
 
-__all__ = ["make_mesh", "state_shardings", "shard_state", "shard_levels",
-           "sharded_step_fn"]
+__all__ = ["make_mesh", "state_specs", "constrain_state", "constrain_levels",
+           "sharded_step_fn", "sharded_scan_fn"]
 
 
 def make_mesh(n: int | None = None, devices=None, axes=("x",)) -> Mesh:
@@ -30,7 +34,6 @@ def make_mesh(n: int | None = None, devices=None, axes=("x",)) -> Mesh:
             devices = devices[:n]
     devices = np.asarray(devices)
     if len(axes) > 1:
-        # factor the device count as evenly as possible across axes
         n = devices.size
         dims = []
         for _ in axes[:-1]:
@@ -47,15 +50,12 @@ def make_mesh(n: int | None = None, devices=None, axes=("x",)) -> Mesh:
 
 
 def _spatial_spec(mesh: Mesh, D: int, lead: int) -> P:
-    """PartitionSpec sharding spatial axis k over mesh axis k (as available)."""
     names = list(mesh.axis_names)
-    spec = [None] * lead + [names[k] if k < len(names) else None for k in range(D)]
-    return P(*spec)
+    return P(*([None] * lead + [names[k] if k < len(names) else None
+                                for k in range(D)]))
 
 
-def state_shardings(mesh: Mesh, D: int) -> FlowState:
-    """Shardings for every FlowState leaf: spatial axes over the mesh,
-    scalars replicated."""
+def state_specs(mesh: Mesh, D: int) -> FlowState:
     sc = NamedSharding(mesh, _spatial_spec(mesh, D, 0))
     vec = NamedSharding(mesh, _spatial_spec(mesh, D, 1))
     ten = NamedSharding(mesh, _spatial_spec(mesh, D, 2))
@@ -63,13 +63,14 @@ def state_shardings(mesh: Mesh, D: int) -> FlowState:
     return FlowState(u=vec, p=sc, V=vec, mu0=vec, mu1=ten, dt=rep, t=rep)
 
 
-def shard_state(state: FlowState, mesh: Mesh) -> FlowState:
+def constrain_state(state: FlowState, mesh: Mesh) -> FlowState:
+    """Pin every state leaf to its spatial sharding (inside jit)."""
     D = state.u.shape[0]
-    return jax.device_put(state, state_shardings(mesh, D))
+    return jax.lax.with_sharding_constraint(state, state_specs(mesh, D))
 
 
-def shard_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple:
-    """Place multigrid levels: sharded while every sharded spatial dim has at
+def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple:
+    """Pin multigrid levels: sharded while every sharded spatial dim keeps at
     least ``min_per_shard`` interior cells per device, replicated below."""
     out = []
     names = list(mesh.axis_names)
@@ -78,30 +79,42 @@ def shard_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple:
         ok = all((S[k] - 2) >= min_per_shard * mesh.shape[names[k]]
                  for k in range(min(len(names), len(S))))
         if ok:
-            D = lev.L.shape[0]
             sh_sc = NamedSharding(mesh, _spatial_spec(mesh, len(S), 0))
             sh_vec = NamedSharding(mesh, _spatial_spec(mesh, len(S), 1))
-            out.append(lev.replace(L=jax.device_put(lev.L, sh_vec),
-                                   D=jax.device_put(lev.D, sh_sc),
-                                   iD=jax.device_put(lev.iD, sh_sc)))
+            out.append(lev.replace(
+                L=jax.lax.with_sharding_constraint(lev.L, sh_vec),
+                D=jax.lax.with_sharding_constraint(lev.D, sh_sc),
+                iD=jax.lax.with_sharding_constraint(lev.iD, sh_sc)))
         else:
             rep = NamedSharding(mesh, P())
-            out.append(jax.device_put(lev, rep))
+            out.append(jax.lax.with_sharding_constraint(lev, rep))
     return tuple(out)
 
 
 def sharded_step_fn(cfg, mesh: Mesh):
-    """Jitted momentum step with explicit input/output shardings.
-
-    GSPMD partitions the stencils (halo exchange via collective-permute on
-    ICI) and the reductions (psum) automatically from these annotations.
-    """
-    from ..flow import mom_step
-
-    sh = state_shardings(mesh, cfg.D)
+    """Jitted momentum step with spatial-decomposition constraints."""
 
     def step(state, levels):
+        state = constrain_state(state, mesh)
+        levels = constrain_levels(levels, mesh)
         new, aux = mom_step(cfg, levels, state)
-        return new, aux
+        return constrain_state(new, mesh), aux
 
-    return jax.jit(step, out_shardings=(sh, None))
+    return jax.jit(step)
+
+
+def sharded_scan_fn(cfg, mesh: Mesh):
+    """Jitted n-step scan under spatial decomposition (no host sync)."""
+
+    def steps(state, levels, n):
+        state = constrain_state(state, mesh)
+        levels = constrain_levels(levels, mesh)
+
+        def body(s, _):
+            s, aux = mom_step(cfg, levels, s)
+            return constrain_state(s, mesh), aux["pois_n"]
+
+        state, pois = jax.lax.scan(body, state, None, length=n)
+        return state, pois
+
+    return jax.jit(steps, static_argnums=(2,))

@@ -1,1 +1,2 @@
-
+"""Utilities: timing, throughput (MLUPS) accounting, profiling hooks."""
+from .perf import mlups, time_steps, trace_profile
