@@ -1,0 +1,52 @@
+"""Performance regression gates.
+
+The reference's alloctest.jl asserts <50 KiB host allocations per step (an
+allocation-regression gate).  The XLA analog: the jitted step must compile
+exactly once — repeated stepping (including the adaptive dt, which must be
+a traced value, never a Python float) may not trigger retraces.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waterlily_tpu.body import AutoBody
+from waterlily_tpu.simulation import Simulation
+
+f32 = jnp.float32
+
+
+def plate_sim(perdir=()):
+    N = 32
+    body = AutoBody(lambda x, t: jnp.abs(x[1] - N / 2) - 2)
+    return Simulation((N, N), (1, 0), N, nu=0.01, body=body, dtype=f32,
+                      perdir=perdir)
+
+
+def test_no_recompilation_static():
+    sim = plate_sim()
+    for _ in range(4):
+        sim.step(remeasure=False)
+    assert sim._step_static._cache_size() == 1
+
+
+def test_no_recompilation_remeasure():
+    sim = plate_sim()
+    for _ in range(4):
+        sim.step(remeasure=True)
+    assert sim._step_remeasure._cache_size() == 1
+
+
+def test_no_recompilation_periodic_wall_configs():
+    # both wall and periodic configs stay stable (alloctest.jl runs both)
+    sim = plate_sim(perdir=(0,))
+    for _ in range(3):
+        sim.step(remeasure=False)
+    assert sim._step_static._cache_size() == 1
+
+
+def test_scan_steps_single_compile():
+    sim = plate_sim()
+    sim.steps(3, remeasure=False)
+    sim.steps(3, remeasure=False)
+    assert sim._scan_steps._cache_size() == 1
+    assert not np.any(np.isnan(np.asarray(sim.flow.u)))

@@ -29,7 +29,8 @@ def time_steps(sim, n_steps: int, warmup: int = 10, remeasure=None) -> dict:
     """
     if remeasure is None:
         remeasure = False
-    sim.steps(max(warmup, 1), remeasure=remeasure)
+    # warm up with the SAME scan length so the timed region never compiles
+    sim.steps(n_steps, remeasure=remeasure)
     jax.block_until_ready(sim.flow.u)
     t0 = time.perf_counter()
     sim.steps(n_steps, remeasure=remeasure)
