@@ -23,17 +23,22 @@ def test_vanleer():
 
 
 def test_quick_boundary_scheme():
-    """QUICK/CD selection at walls (maintests.jl:126-138), checked through
-    the full flux builder on a tiny 1D-like field."""
-    from waterlily_tpu.ops.convect import _face_flux
-    # u-velocity field of one component on a 3-cell "grid": f = [0, .5, 2]
-    f = jnp.array([0.0, 0.5, 2.0])
-    u = jnp.stack([f])[:, :, None] * jnp.ones((1, 3, 3))  # (1,3,3) 2D-ify
-    # simpler: directly test quick/median identities
+    """QUICK flux selection at walls (maintests.jl:126-138) through the full
+    vectorized flux builder on a 1D-profile field."""
+    from waterlily_tpu.ops.convect import _face_flux_all
     assert float(quick(0.0, 0.5, 2.0)) == float(median3((5 * 0.5 + 2 * 2 - 0) / 6, 0.5,
                                                         median3(10 * 0.5 - 0, 0.5, 2.0)))
-    # inlet positive flux -> CD: 0.5*(0+0.5)
-    # (verified end-to-end by the conv_diff uniform-flow test below)
+    # 2D field whose x-profile is [0, .5, 2, 1] with uniform advecting speed:
+    prof = jnp.array([0.0, 0.5, 2.0, 1.0])
+    u = jnp.stack([jnp.tile(prof[:, None], (1, 4)), jnp.zeros((4, 4))])
+    # w>0 everywhere when advecting component is the profile itself
+    flux = _face_flux_all(u, 0, 0.0, False, quick)
+    # face k=1 (low wall): ϕuL positive flux -> central difference
+    w1 = 0.5 * (prof[1] + prof[0])
+    assert np.isclose(float(flux[0, 1, 2]), w1 * 0.5 * (prof[0] + prof[1]))
+    # face k=2 (interior): QUICK upwind
+    w2 = 0.5 * (prof[2] + prof[1])
+    assert np.isclose(float(flux[0, 2, 2]), w2 * float(quick(prof[0], prof[1], prof[2])))
 
 
 def test_conv_diff_uniform_flow():

@@ -16,7 +16,8 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .grid import interior, interior_view, shift, apply_field
+from .grid import (interior, interior_view, interior_mask, mask_interior,
+                   shift, apply_field)
 from .ops.bc import bc_vector, bc_scalar_periodic, exit_bc
 from .ops.convect import conv_diff, accelerate, quick
 from .ops.multigrid import ml_solve
@@ -66,8 +67,7 @@ def div(u: jax.Array) -> jax.Array:
     s = jnp.zeros(u.shape[1:], u.dtype)
     for i in range(D):
         s = s + (shift(u[i], i, +1) - u[i])
-    out = jnp.zeros_like(s)
-    return out.at[interior(D)].set(s[interior(D)])
+    return mask_interior(s)
 
 
 def bdim(u, u0, r, V, mu0, mu1, dt):
@@ -79,14 +79,12 @@ def bdim(u, u0, r, V, mu0, mu1, dt):
     """
     D = u.shape[0]
     f = u0 + dt * r - V
-    upd = []
-    for i in range(D):
-        m = jnp.zeros_like(f[i])
-        for j in range(D):
-            m = m + mu1[i, j] * (shift(f[i], j, +1) - shift(f[i], j, -1))
-        upd.append(0.5 * m + V[i] + mu0[i] * f[i])
-    upd = jnp.stack(upd, axis=0)
-    return u.at[interior(D, lead=1)].add(upd[interior(D, lead=1)])
+    m = jnp.zeros_like(f)
+    for j in range(D):
+        # vectorized over components: one roll of the stacked (D,*S) array
+        m = m + mu1[:, j] * (shift(f, j + 1, +1) - shift(f, j + 1, -1))
+    upd = 0.5 * m + V + mu0 * f
+    return u + jnp.where(interior_mask(u.shape[1:]), upd, 0.0)
 
 
 def project(levels, u, p, dt_eff, cfg):
@@ -104,10 +102,8 @@ def project(levels, u, p, dt_eff, cfg):
     x, r, n = out[:3]
     tr = out[3] if cfg.log else None
     L = levels[0].L
-    for i in range(D):
-        grad = interior_view(x, D) - interior_view(x, D, off=tuple(
-            -1 if d == i else 0 for d in range(D)))
-        u = u.at[(i,) + interior(D)].add(-interior_view(L[i], D) * grad)
+    grad = jnp.stack([x - shift(x, i, -1) for i in range(D)], axis=0)
+    u = u - jnp.where(interior_mask(x.shape), L * grad, 0.0)
     p = x / dt_eff
     return u, p, (n, tr)
 
@@ -132,8 +128,10 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     u0, p, dt, t = state.u, state.p, state.dt, state.t
     U = bc_tuple(cfg.U, t + dt, D, dtype)
 
+    imask = interior_mask(cfg.S)
+
     # predictor u -> u'
-    u = u0.at[interior(D, lead=1)].set(0.0)          # scale_u!(a, 0)
+    u = jnp.where(imask, 0.0, u0)                    # scale_u!(a, 0)
     r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter)
     r = accelerate(r, t, cfg.g, cfg.U, dtype)
     u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
@@ -147,7 +145,7 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter)
     r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
     u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
-    u = u.at[interior(D, lead=1)].multiply(0.5)      # scale_u!(a, 0.5)
+    u = jnp.where(imask, 0.5 * u, u)                 # scale_u!(a, 0.5)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
     u, p, (n2, tr2) = project(levels, u, p, 0.5 * dt, cfg)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "shift", "plane", "interior", "interior_view", "set_interior",
-    "axis_coord", "loc_grid", "l2", "linf", "apply_field", "interp",
-    "inside_count",
+    "axis_coord", "interior_mask", "mask_interior", "loc_grid", "l2", "linf",
+    "apply_field", "interp", "inside_count",
 ]
 
 
@@ -78,6 +78,26 @@ def set_interior(a: jax.Array, D: int, value) -> jax.Array:
 def axis_coord(shape: tuple, axis: int, dtype=jnp.int32) -> jax.Array:
     """Broadcasted integer coordinate along ``axis`` (for boundary masks)."""
     return jax.lax.broadcasted_iota(dtype, shape, axis)
+
+
+def interior_mask(S: tuple) -> jax.Array:
+    """Boolean mask of the interior cells of a ghost-padded shape.
+
+    Built from iotas so XLA folds it into consumers as computed values —
+    ``where(interior_mask(S), expr, 0)`` fuses into one pass, unlike a
+    slice-assignment which materialises a scatter/concat."""
+    m = None
+    for d in range(len(S)):
+        k = axis_coord(S, d)
+        md = (k >= 1) & (k <= S[d] - 2)
+        m = md if m is None else m & md
+    return m
+
+
+def mask_interior(a: jax.Array, D: int | None = None) -> jax.Array:
+    """Zero the ghost cells of ``a`` (trailing ``D`` spatial axes)."""
+    D = a.ndim if D is None else D
+    return jnp.where(interior_mask(a.shape[a.ndim - D:]), a, 0)
 
 
 def inside_count(S: tuple) -> int:

@@ -49,46 +49,48 @@ def vanleer(u, c, d):
     return jnp.where(keep, c, lim)
 
 
-def _face_flux(u, i, j, nu, periodic, limiter):
-    """Flux of momentum component ``i`` through the faces normal to ``j``.
+def _face_flux_all(u, j, nu, periodic, limiter):
+    """Fluxes of ALL momentum components through the faces normal to ``j``.
 
-    Returns a full-shape array; positions outside face range 1..S-1 along
-    axis j (and the wrapped transverse plane 0 of axis i when i!=j) hold
-    garbage that callers mask via the write-support mask.
+    One vectorized sweep over the stacked component axis: the four stencil
+    shifts are rolls of the full ``(D,*S)`` array (one kernel each instead
+    of D), and only the advecting velocity needs per-component shifts.
+    Positions outside face range 1..S-1 along axis j (and wrapped transverse
+    planes) hold garbage masked by the caller's write-support mask.
     """
     D = u.shape[0]
     S = u.shape[1:]
-    aj = j  # spatial axis of the component array
-    f = u[i]
+    aj = j + 1  # array axis of spatial dim j in (D,*S)
+    f = u
     fm1 = shift(f, aj, -1)
     fm2 = shift(f, aj, -2)
     fp1 = shift(f, aj, +1)
     # advecting velocity: component j averaged onto the (i,j) face (ϕ, Flow.jl:3)
-    w = 0.5 * (u[j] + shift(u[j], i, -1)) if i != j else 0.5 * (u[j] + shift(u[j], aj, -1))
+    w = jnp.stack([0.5 * (u[j] + shift(u[j], i, -1)) for i in range(D)], axis=0)
 
-    k = axis_coord(S, aj)
+    k = axis_coord(S, j)  # broadcasts over the component axis
     cd = 0.5 * (f + fm1)
     if periodic:
         # ϕuP: far-upwind point of face 1 wraps to interior plane S-3
         # (expressed as a roll so the op stays scatter-free under SPMD)
-        fm2 = jnp.where(k == 1, shift(f, aj, S[aj] - 4), fm2)
+        fm2 = jnp.where(k == 1, shift(f, aj, S[j] - 4), fm2)
         pos = limiter(fm2, fm1, f)
         neg = limiter(fp1, f, fm1)
     else:
         pos = jnp.where(k == 1, cd, limiter(fm2, fm1, f))   # ϕuL at the low wall
-        neg = jnp.where(k == S[aj] - 1, cd, limiter(fp1, f, fm1))  # ϕuR at the high wall
+        neg = jnp.where(k == S[j] - 1, cd, limiter(fp1, f, fm1))  # ϕuR at the high wall
     flux = jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
     if periodic:
         # upperBoundary! Val{true}: top face flux copies face 1 (Flow.jl:60)
-        flux = jnp.where(k == S[aj] - 1, shift(flux, aj, -(S[aj] - 2)), flux)
+        flux = jnp.where(k == S[j] - 1, shift(flux, aj, -(S[j] - 2)), flux)
     return flux
 
 
-def _support_mask(S, i, j):
-    """Cells written by the reference's (i,j) sweep.
+def _support_mask(S, j):
+    """Cells written by the reference's sweep along ``j`` (any component).
 
-    Along j: 1..S-2.  Along every other axis (including i): 1..S-1 — the
-    reference's slices use ``low=2`` (1-based) and run to the top ghost
+    Along j: 1..S-2.  Along every other axis: 1..S-1 — the reference's
+    slices use ``low=2`` (1-based) and run to the top ghost
     (src/util.jl:180, src/Flow.jl:45-47,54-60).
     """
     m = None
@@ -112,10 +114,9 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick) -> jax.Array:
     r = jnp.zeros_like(u)
     for j in range(D):
         periodic = j in perdir
-        for i in range(D):
-            flux = _face_flux(u, i, j, nu, periodic, limiter)
-            div_j = flux - shift(flux, j, +1)
-            r = r.at[i].add(jnp.where(_support_mask(S, i, j), div_j, 0.0))
+        flux = _face_flux_all(u, j, nu, periodic, limiter)
+        div_j = flux - shift(flux, j + 1, +1)
+        r = r + jnp.where(_support_mask(S, j), div_j, 0.0)
     return r
 
 

@@ -62,8 +62,7 @@ def restrict(b: jax.Array) -> jax.Array:
         M = (S[d] - 2) // 2
         sh = v.shape[:d] + (M, 2) + v.shape[d + 1:]
         v = v.reshape(sh).sum(axis=d + 1)
-    out = jnp.zeros(coarse_shape(S), b.dtype)
-    return out.at[interior(D)].set(v)
+    return jnp.pad(v, 1)
 
 
 def restrict_L(L: jax.Array, perdir: tuple = ()) -> jax.Array:
@@ -85,7 +84,7 @@ def restrict_L(L: jax.Array, perdir: tuple = ()) -> jax.Array:
             else:
                 sh = v.shape[:d] + (M, 2) + v.shape[d + 1:]
                 v = v.reshape(sh).sum(axis=d + 1)
-        comps.append(jnp.zeros(coarse_shape(S), L.dtype).at[interior(D)].set(0.5 * v))
+        comps.append(jnp.pad(0.5 * v, 1))
     a = jnp.stack(comps, axis=0)
     return bc_vector(a, (0.0,) * D, save_exit=False, perdir=perdir)
 
@@ -99,8 +98,7 @@ def prolongate(x_coarse: jax.Array, S_fine: tuple) -> jax.Array:
     v = interior_view(x_coarse, D)
     for d in range(D):
         v = jnp.repeat(v, 2, axis=d)
-    out = jnp.zeros(S_fine, x_coarse.dtype)
-    return out.at[interior(D)].set(v)
+    return jnp.pad(v, 1)
 
 
 def build_levels(mu0: jax.Array, perdir: tuple = ()) -> tuple:

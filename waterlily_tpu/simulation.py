@@ -61,11 +61,20 @@ class Simulation:
                               perdir=tuple(perdir), exitBC=bool(exitBC),
                               dtype=dtype, limiter=limiter, tol=float(tol),
                               itmx=int(itmx), log=bool(log))
-        state = flow_init(self.cfg, ulam, dt)
-        V, m0, m1, _ = measure_fields(self.body, S, 0.0, self.epsilon,
-                                      self.cfg.perdir, self.cfg.exitBC, dtype)
-        self.flow = state._replace(V=V, mu0=m0, mu1=m1)
-        self.levels = build_levels(self.flow.mu0, self.cfg.perdir)
+        # one jitted program for the whole construction: initial condition,
+        # BDIM rasterization and the multigrid level stack.  (Eager
+        # construction would dispatch hundreds of individually-compiled ops —
+        # pathological on remote-compile TPU runtimes.)
+        cfg0, body0, eps0 = self.cfg, self.body, self.epsilon
+
+        def _init():
+            state = flow_init(cfg0, ulam, dt)
+            V, m0, m1, _ = measure_fields(body0, S, 0.0, eps0, cfg0.perdir,
+                                          cfg0.exitBC, dtype)
+            state = state._replace(V=V, mu0=m0, mu1=m1)
+            return state, build_levels(m0, cfg0.perdir)
+
+        self.flow, self.levels = jax.jit(_init)()
 
         # host-side observability mirrors of flow.Δt and pois.n
         self.dts = [float(dt)]
@@ -116,11 +125,15 @@ class Simulation:
         (reference `measure!(sim)`, src/WaterLily.jl:116-119)."""
         if t is None:
             t = float(self.flow.t) + float(self.flow.dt)
-        V, m0, m1, _ = measure_fields(self.body, self.cfg.S, t, self.epsilon,
-                                      self.cfg.perdir, self.cfg.exitBC,
-                                      self.cfg.dtype)
+        cfg, body, eps = self.cfg, self.body, self.epsilon
+
+        def _measure(t):
+            V, m0, m1, _ = measure_fields(body, cfg.S, t, eps, cfg.perdir,
+                                          cfg.exitBC, cfg.dtype)
+            return V, m0, m1, build_levels(m0, cfg.perdir)
+
+        V, m0, m1, self.levels = jax.jit(_measure)(jnp.asarray(t, cfg.dtype))
         self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1)
-        self.levels = build_levels(m0, self.cfg.perdir)
 
     def _record(self, aux):
         self.dts.append(float(self.flow.dt))
