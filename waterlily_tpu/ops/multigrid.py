@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..grid import interior, interior_view
 from .bc import bc_vector, bc_scalar_periodic
-from .poisson import PoissonLevel, make_level, residual, jacobi, pcg, increment
+from .poisson import (PoissonLevel, make_level, residual, jacobi, pcg,
+                      smooth, increment)
 
 __all__ = ["n_levels", "coarse_shape", "restrict", "restrict_L", "prolongate",
            "build_levels", "update_levels", "vcycle", "ml_solve"]
@@ -138,7 +139,7 @@ def vcycle(levels: tuple, l: int, x, r):
     xc = jnp.zeros_like(coarse.D)
     if l + 1 < len(levels) - 1:
         xc, rc = vcycle(levels, l + 1, xc, rc)
-    xc, rc = pcg(coarse, xc, rc)
+    xc, rc = smooth(coarse, xc, rc)
     eps = prolongate(xc, x.shape)
     x, r = increment(fine, x, r, eps)
     return x, r
@@ -170,7 +171,7 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False):
     def body(c):
         x, r, n, _, tr = c
         x, r = vcycle(levels, 0, x, r)
-        x, r = pcg(fine, x, r)
+        x, r = smooth(fine, x, r)
         r2 = jnp.vdot(r, r)
         if trace:
             tr = tr.at[n + 1].set(log_row(r))

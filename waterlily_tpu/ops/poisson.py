@@ -27,7 +27,7 @@ from ..grid import shift, interior_mask, mask_interior, inside_count
 from .bc import bc_scalar_periodic
 
 __all__ = ["PoissonLevel", "make_level", "mult", "residual", "jacobi", "pcg",
-           "increment", "poisson_solve"]
+           "smooth", "increment", "poisson_solve"]
 
 
 @struct.dataclass
@@ -139,7 +139,14 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
     return x, r
 
 
-def poisson_solve(lev: PoissonLevel, x, z, tol=1e-4, itmx=1000, smoother=pcg):
+def smooth(lev: PoissonLevel, x, r, it: int = 6):
+    """Default smoother (reference ``smooth! = pcg!``): the fused Pallas PCG
+    on TPU when the level fits VMEM, the XLA path otherwise."""
+    from .pallas_kernels import pcg_auto
+    return pcg_auto(lev, x, r, it, xla_pcg=pcg)
+
+
+def poisson_solve(lev: PoissonLevel, x, z, tol=1e-4, itmx=1000, smoother=smooth):
     """Single-level iterative solve (reference ``solver!``, src/Poisson.jl:162-172).
 
     Runs at least one smoothing pass (the reference's loop tests the
