@@ -111,10 +111,18 @@ def _make_kernel(D, S, it, perdir, dtype):
 
 
 def vmem_bytes_for_pcg(D, S, dtype=jnp.float32) -> int:
-    """Rough VMEM working set: D face-coeff fields + 6 scalar fields."""
-    cells = math.prod(S)
+    """Conservative VMEM working-set estimate for the fused kernel.
+
+    Accounts for TPU tiling (last dim padded to 128 lanes, second-to-last
+    to 8 sublanes — a 4x blowup for small 3D levels) and for the roll
+    temporaries the kernel body keeps live (~2x the named buffers)."""
+    padded = list(S)
+    padded[-1] = -(-S[-1] // 128) * 128
+    if len(S) >= 2:
+        padded[-2] = -(-S[-2] // 8) * 8
+    cells = math.prod(padded)
     per = jnp.dtype(dtype).itemsize
-    return (D + 8) * cells * per
+    return 2 * (D + 8) * cells * per
 
 
 def pcg_pallas(lev, x, r, it: int = 6, interpret: bool = False):

@@ -104,7 +104,10 @@ class Simulation:
                 return s, aux["pois_n"]
             return jax.lax.scan(body_fn, state, None, length=n)
 
-        self._scan_steps = jax.jit(scan_steps, static_argnums=(2, 3))
+        # donate the carried state: XLA reuses its buffers in place, halving
+        # peak HBM for large 3D runs
+        self._scan_steps = jax.jit(scan_steps, static_argnums=(2, 3),
+                                   donate_argnums=(0,))
 
     # -- observability -----------------------------------------------------
 
@@ -172,6 +175,16 @@ class Simulation:
         for row in np.asarray(pois_n):
             self.pois_n.append(row)
         self.dts.append(float(self.flow.dt))
+        return self
+
+    def run_until(self, t_end, chunk=50, remeasure=True):
+        """Integrate to dimensionless time ``t_end`` in `lax.scan` chunks,
+        syncing only one scalar per chunk — the production stepping loop.
+
+        Semantically matches `sim_step(t_end)` except the final chunk may
+        overshoot by up to ``chunk-1`` steps."""
+        while self.sim_time < t_end:
+            self.steps(chunk, remeasure=remeasure)
         return self
 
     def write_log(self, fname="WaterLily.log"):
