@@ -1,0 +1,35 @@
+"""Flow past a 2D circle at Re=100 — the reference README example
+(README.md:41-51), with a drag/lift force trace and an optional gif.
+
+Run:  python examples/two_d_circle.py [--gif]
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waterlily_tpu.models.cases import circle_2d
+from waterlily_tpu.metrics import total_force
+
+
+def main():
+    sim = circle_2d(n=96, m=64, Re=100)
+    force_fn = jax.jit(lambda u, p, t: total_force(u, p, sim.cfg.nu, sim.body, t))
+
+    print("tU/L   Cd      Cl")
+    for k in range(20):
+        sim.sim_step(sim.sim_time + 0.5, remeasure=False)
+        f = np.asarray(force_fn(sim.flow.u, sim.flow.p, sim.time))
+        coeff = 2 * f / (sim.U ** 2 * sim.L)  # force -> coefficient
+        print(f"{sim.sim_time:5.1f}  {-coeff[0]:6.3f}  {coeff[1]:6.3f}")
+
+    if "--gif" in sys.argv:
+        from waterlily_tpu.io.plots import sim_gif
+        sim_gif(sim, "circle.gif", duration=5, step=0.25, clims=(-8, 8),
+                plotbody=True)
+        print("wrote circle.gif")
+
+
+if __name__ == "__main__":
+    main()
