@@ -23,22 +23,21 @@ def test_vanleer():
 
 
 def test_quick_boundary_scheme():
-    """QUICK flux selection at walls (maintests.jl:126-138) through the full
-    vectorized flux builder on a 1D-profile field."""
-    from waterlily_tpu.ops.convect import _face_flux_all
+    """QUICK flux selection at walls (maintests.jl:126-138) checked through
+    conv_diff on a 1D x-profile: wall faces use central difference (ϕuL/ϕuR),
+    interior faces the QUICK limiter, tendency = gathered flux difference."""
     assert float(quick(0.0, 0.5, 2.0)) == float(median3((5 * 0.5 + 2 * 2 - 0) / 6, 0.5,
                                                         median3(10 * 0.5 - 0, 0.5, 2.0)))
-    # 2D field whose x-profile is [0, .5, 2, 1] with uniform advecting speed:
-    prof = jnp.array([0.0, 0.5, 2.0, 1.0])
-    u = jnp.stack([jnp.tile(prof[:, None], (1, 4)), jnp.zeros((4, 4))])
-    # w>0 everywhere when advecting component is the profile itself
-    flux = _face_flux_all(u, 0, 0.0, False, quick)
-    # face k=1 (low wall): ϕuL positive flux -> central difference
-    w1 = 0.5 * (prof[1] + prof[0])
-    assert np.isclose(float(flux[0, 1, 2]), w1 * 0.5 * (prof[0] + prof[1]))
-    # face k=2 (interior): QUICK upwind
-    w2 = 0.5 * (prof[2] + prof[1])
-    assert np.isclose(float(flux[0, 2, 2]), w2 * float(quick(prof[0], prof[1], prof[2])))
+    prof = np.array([0.0, 0.5, 2.0, 1.0])
+    u = jnp.stack([jnp.tile(jnp.asarray(prof)[:, None], (1, 4)),
+                   jnp.zeros((4, 4))]).astype(jnp.float64)
+    r = wl.conv_diff(u, nu=0.0)
+    w = 0.5 * (prof[1:] + prof[:-1])        # face velocities, all positive
+    F1 = w[0] * 0.5 * (prof[0] + prof[1])                    # ϕuL -> CD
+    F2 = w[1] * float(quick(prof[0], prof[1], prof[2]))      # interior QUICK
+    F3 = w[2] * float(quick(prof[1], prof[2], prof[3]))      # ϕuR, w>0 -> QUICK
+    assert np.isclose(float(r[0, 1, 2]), F1 - F2)
+    assert np.isclose(float(r[0, 2, 2]), F2 - F3)
 
 
 def test_conv_diff_uniform_flow():

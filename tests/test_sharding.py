@@ -22,16 +22,17 @@ def test_mesh_shapes():
     assert mesh2.devices.size == 8 and len(mesh2.axis_names) == 2
 
 
-@pytest.mark.parametrize("axes", [("x",), ("x", "y")])
-def test_sharded_step_matches_single(axes):
-    N = (64, 64)
-    cfg = FlowConfig(D=2, S=(66, 66), U=(1.0, 0.0), nu=0.01, dtype=f32)
+@pytest.mark.parametrize("axes,perdir", [(("x",), ()), (("x", "y"), ()),
+                                         (("x",), (0, 1))])
+def test_sharded_step_matches_single(axes, perdir):
+    cfg = FlowConfig(D=2, S=(66, 66), U=(1.0, 0.0), nu=0.01, dtype=f32,
+                     perdir=perdir)
 
     def ulam(i, x):
         return jnp.where(i == 0, 1.0 + 0.05 * jnp.sin(x[1] / 4), 0.0)
 
     state = flow_init(cfg, ulam)
-    levels = build_levels(state.mu0)
+    levels = build_levels(state.mu0, perdir)
 
     ref, aux_ref = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
 

@@ -60,14 +60,20 @@ def bc_tuple(U, t, D, dtype):
     return tuple(jnp.asarray(Ui, dtype) for Ui in U)
 
 
+def _off(D, i, v):
+    return tuple(v if d == i else 0 for d in range(D))
+
+
 def div(u: jax.Array) -> jax.Array:
     """Cell divergence Σᵢ u[I+δᵢ,i]-u[I,i] on the interior, zero ghosts
-    (reference `div`, src/Flow.jl:11-17)."""
+    (reference `div`, src/Flow.jl:11-17).  All-slice form: XLA fuses the
+    stencil into a single pass (ghost cells supply every neighbour)."""
     D = u.shape[0]
-    s = jnp.zeros(u.shape[1:], u.dtype)
+    s = None
     for i in range(D):
-        s = s + (shift(u[i], i, +1) - u[i])
-    return mask_interior(s)
+        t = interior_view(u[i], D, _off(D, i, +1)) - interior_view(u[i], D)
+        s = t if s is None else s + t
+    return jnp.pad(s, 1)
 
 
 def bdim(u, u0, r, V, mu0, mu1, dt):
@@ -79,12 +85,14 @@ def bdim(u, u0, r, V, mu0, mu1, dt):
     """
     D = u.shape[0]
     f = u0 + dt * r - V
-    m = jnp.zeros_like(f)
+    iv = lambda a, off=None: interior_view(a, D, off)
+    m = None
     for j in range(D):
-        # vectorized over components: one roll of the stacked (D,*S) array
-        m = m + mu1[:, j] * (shift(f, j + 1, +1) - shift(f, j + 1, -1))
-    upd = 0.5 * m + V + mu0 * f
-    return u + jnp.where(interior_mask(u.shape[1:]), upd, 0.0)
+        # vectorized over components; slices of f (ghosts are valid reads)
+        t = iv(mu1[:, j]) * (iv(f, _off(D, j, +1)) - iv(f, _off(D, j, -1)))
+        m = t if m is None else m + t
+    upd = 0.5 * m + iv(V) + iv(mu0) * iv(f)
+    return u + jnp.pad(upd, [(0, 0)] + [(1, 1)] * D)
 
 
 def project(levels, u, p, dt_eff, cfg):
@@ -102,8 +110,11 @@ def project(levels, u, p, dt_eff, cfg):
     x, r, n = out[:3]
     tr = out[3] if cfg.log else None
     L = levels[0].L
-    grad = jnp.stack([x - shift(x, i, -1) for i in range(D)], axis=0)
-    u = u - jnp.where(interior_mask(x.shape), L * grad, 0.0)
+    upd = jnp.stack([
+        interior_view(L[i], D)
+        * (interior_view(x, D) - interior_view(x, D, _off(D, i, -1)))
+        for i in range(D)], axis=0)
+    u = u - jnp.pad(upd, [(0, 0)] + [(1, 1)] * D)
     p = x / dt_eff
     return u, p, (n, tr)
 
@@ -111,10 +122,12 @@ def project(levels, u, p, dt_eff, cfg):
 def cfl(u, nu, dt_max=10.0):
     """Adaptive time step (reference `CFL`/`flux_out`, src/Flow.jl:172-182)."""
     D = u.shape[0]
-    s = jnp.zeros(u.shape[1:], u.dtype)
+    s = None
     for i in range(D):
-        s = s + jnp.maximum(0.0, shift(u[i], i, +1)) + jnp.maximum(0.0, -u[i])
-    mx = jnp.max(s[interior(D)])
+        t = (jnp.maximum(0.0, interior_view(u[i], D, _off(D, i, +1)))
+             + jnp.maximum(0.0, -interior_view(u[i], D)))
+        s = t if s is None else s + t
+    mx = jnp.max(s)
     return jnp.minimum(jnp.asarray(dt_max, u.dtype), 1.0 / (mx + 5 * nu))
 
 

@@ -1,29 +1,34 @@
-"""Ghost-cell boundary conditions in mask+roll form.
+"""Ghost-cell boundary conditions.
 
-Replaces the reference's boundary slice kernels (`BC!` src/util.jl:192-210,
-`exitBC!` :216-222, `perBC!` :227-231).  Every plane update is expressed as
-``where(index-mask, rolled-neighbour-or-value, field)`` — a pure elementwise
-program with no scatters.  This matters twice on TPU: XLA fuses the whole
-BC sweep into one VMEM pass, and the SPMD partitioner handles masked
-elementwise ops exactly under *uneven* spatial sharding (integer-indexed
-plane scatters do not).
+Functional equivalents of the reference's boundary slice kernels
+(`BC!` src/util.jl:192-210, `exitBC!` :216-222, `perBC!` :227-231).
+
+Plane updates use width-1 *slice* windows (`a.at[.., 0:1, ..].set(...)`)
+— static dynamic-update-slices that XLA performs in place and that the
+SPMD partitioner handles correctly under uneven spatial sharding (unlike
+integer-indexed plane scatters, which miscompile there, and unlike
+full-array mask+roll sweeps, which cost whole-field passes per plane).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ..grid import shift, axis_coord
-
 __all__ = ["bc_vector", "bc_scalar_periodic", "exit_bc"]
 
 
-def _per_fill(a: jax.Array, j: int) -> jax.Array:
-    """Periodic ghost fill along spatial axis j of a scalar-shaped array."""
-    S = a.shape
-    k = axis_coord(S, j)
-    a = jnp.where(k == 0, shift(a, j, S[j] - 2), a)
-    return jnp.where(k == S[j] - 1, shift(a, j, -(S[j] - 2)), a)
+def _pl(D: int, j: int, lo: int, lead: int = 0) -> tuple:
+    """Width-1 slice selecting plane ``axis j == lo`` (0-based, >=0)."""
+    return (slice(None),) * lead + tuple(
+        slice(lo, lo + 1) if d == j else slice(None) for d in range(D))
+
+
+def _per_fill(a: jax.Array, j: int, lead: int = 0) -> jax.Array:
+    """Periodic ghost fill along spatial axis j."""
+    D = a.ndim - lead
+    S = a.shape[lead:]
+    a = a.at[_pl(D, j, 0, lead)].set(a[_pl(D, j, S[j] - 2, lead)])
+    return a.at[_pl(D, j, S[j] - 1, lead)].set(a[_pl(D, j, 1, lead)])
 
 
 def bc_vector(u: jax.Array, A, save_exit: bool = False, perdir: tuple = ()) -> jax.Array:
@@ -45,17 +50,17 @@ def bc_vector(u: jax.Array, A, save_exit: bool = False, perdir: tuple = ()) -> j
     for i in range(D):
         a = u[i]
         for j in range(D):
-            k = axis_coord(S, j)
             if j in perdir:
                 a = _per_fill(a, j)
             elif i == j:
-                lo = (k == 0) | (k == 1)
-                a = jnp.where(lo, A[i], a)
+                Ai = jnp.asarray(A[i], u.dtype)
+                a = a.at[_pl(D, j, 0)].set(Ai)
+                a = a.at[_pl(D, j, 1)].set(Ai)
                 if not (save_exit and i == 0):
-                    a = jnp.where(k == S[j] - 1, A[i], a)
+                    a = a.at[_pl(D, j, S[j] - 1)].set(Ai)
             else:
-                a = jnp.where(k == 0, shift(a, j, +1), a)
-                a = jnp.where(k == S[j] - 1, shift(a, j, -1), a)
+                a = a.at[_pl(D, j, 0)].set(a[_pl(D, j, 1)])
+                a = a.at[_pl(D, j, S[j] - 1)].set(a[_pl(D, j, S[j] - 2)])
         comps.append(a)
     return jnp.stack(comps, axis=0)
 
@@ -66,16 +71,8 @@ def bc_scalar_periodic(a: jax.Array, perdir: tuple, D: int | None = None) -> jax
         return a
     D = a.ndim if D is None else D
     lead = a.ndim - D
-    if lead == 0:
-        for j in perdir:
-            a = _per_fill(a, j)
-        return a
-    # leading component axes: vectorize over them via reshape-free mapping
-    S = a.shape[lead:]
     for j in perdir:
-        k = axis_coord(a.shape, lead + j)
-        a = jnp.where(k == 0, shift(a, lead + j, S[j] - 2), a)
-        a = jnp.where(k == S[j] - 1, shift(a, lead + j, -(S[j] - 2)), a)
+        a = _per_fill(a, j, lead)
     return a
 
 
@@ -89,12 +86,9 @@ def exit_bc(u: jax.Array, u0: jax.Array, U, dt) -> jax.Array:
     """
     D = u.shape[0]
     S = u.shape[1:]
-    mask = axis_coord(S, 0) == S[0] - 1
-    count = 1
-    for d in range(1, D):
-        k = axis_coord(S, d)
-        mask = mask & (k >= 1) & (k <= S[d] - 2)
-        count *= S[d] - 2
-    conv = u0[0] - U[0] * dt * (u0[0] - shift(u0[0], 0, -1))
-    flux = jnp.sum(jnp.where(mask, conv, 0.0)) / count - U[0]
-    return u.at[0].set(jnp.where(mask, conv - flux, u[0]))
+    tr = tuple(slice(1, -1) for _ in range(D - 1))
+    ex = (0, slice(S[0] - 1, S[0])) + tr
+    exm = (0, slice(S[0] - 2, S[0] - 1)) + tr
+    new = u0[ex] - U[0] * dt * (u0[ex] - u0[exm])
+    flux = jnp.mean(new) - U[0]
+    return u.at[ex].set(new - flux)

@@ -1,15 +1,23 @@
-"""Convection-diffusion fluxes in gather form.
+"""Convection-diffusion fluxes in gather form, all-slice stencils.
 
 TPU-native re-design of the reference's `conv_diff!` (src/Flow.jl:36-60).
 The reference computes a face flux `Φ` and *scatters* `r[I]+=Φ; r[I-δ]-=Φ`.
-Scatters don't vectorize on TPU, so here every (i,j) sweep builds the whole
-face-flux array with boundary variants selected by index masks, and the
+Scatters don't vectorize on TPU, so each direction sweep builds the whole
+face-flux window with boundary variants selected by index masks, and the
 momentum tendency is the gathered flux difference ``r = Φ - Φ(+δj)``.
-XLA fuses each sweep into a single VMEM-resident elementwise pass.
+
+Memory layout: the QUICK stencil reads up to two cells beyond the ghost
+ring, so ``u`` is edge-padded by 2 ONCE per call; after that every shifted
+read in all D sweeps is a pure slice of that one buffer, which XLA fuses
+into single-pass loop fusions (rolls would materialise a copy per shift —
+~10x the HBM traffic at 256³).
 
 Flux-face layout along sweep axis j (0-based, ghost-padded size S):
 face k carries the flux through the lower face of cell k, defined for
 k = 1..S-1.  Cell tendencies live on k = 1..S-2:  ``r[k] = F[k] - F[k+1]``.
+The reference's write support (cells 1..S-2 along j, 1..S-1 transverse —
+src/util.jl:180 `low=2`) is realised by zero-padding the gathered window,
+so no masks are needed for the scatter support at all.
 
 Boundary variants (reference src/Flow.jl:6-9,54-60):
 - interior face: QUICK upwind with median limiter;
@@ -23,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..grid import shift, axis_coord, plane
+from ..grid import axis_coord
 
 __all__ = ["quick", "vanleer", "median3", "conv_diff", "accelerate"]
 
@@ -49,58 +57,6 @@ def vanleer(u, c, d):
     return jnp.where(keep, c, lim)
 
 
-def _face_flux_all(u, j, nu, periodic, limiter):
-    """Fluxes of ALL momentum components through the faces normal to ``j``.
-
-    One vectorized sweep over the stacked component axis: the four stencil
-    shifts are rolls of the full ``(D,*S)`` array (one kernel each instead
-    of D), and only the advecting velocity needs per-component shifts.
-    Positions outside face range 1..S-1 along axis j (and wrapped transverse
-    planes) hold garbage masked by the caller's write-support mask.
-    """
-    D = u.shape[0]
-    S = u.shape[1:]
-    aj = j + 1  # array axis of spatial dim j in (D,*S)
-    f = u
-    fm1 = shift(f, aj, -1)
-    fm2 = shift(f, aj, -2)
-    fp1 = shift(f, aj, +1)
-    # advecting velocity: component j averaged onto the (i,j) face (ϕ, Flow.jl:3)
-    w = jnp.stack([0.5 * (u[j] + shift(u[j], i, -1)) for i in range(D)], axis=0)
-
-    k = axis_coord(S, j)  # broadcasts over the component axis
-    cd = 0.5 * (f + fm1)
-    if periodic:
-        # ϕuP: far-upwind point of face 1 wraps to interior plane S-3
-        # (expressed as a roll so the op stays scatter-free under SPMD)
-        fm2 = jnp.where(k == 1, shift(f, aj, S[j] - 4), fm2)
-        pos = limiter(fm2, fm1, f)
-        neg = limiter(fp1, f, fm1)
-    else:
-        pos = jnp.where(k == 1, cd, limiter(fm2, fm1, f))   # ϕuL at the low wall
-        neg = jnp.where(k == S[j] - 1, cd, limiter(fp1, f, fm1))  # ϕuR at the high wall
-    flux = jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
-    if periodic:
-        # upperBoundary! Val{true}: top face flux copies face 1 (Flow.jl:60)
-        flux = jnp.where(k == S[j] - 1, shift(flux, aj, -(S[j] - 2)), flux)
-    return flux
-
-
-def _support_mask(S, j):
-    """Cells written by the reference's sweep along ``j`` (any component).
-
-    Along j: 1..S-2.  Along every other axis: 1..S-1 — the reference's
-    slices use ``low=2`` (1-based) and run to the top ghost
-    (src/util.jl:180, src/Flow.jl:45-47,54-60).
-    """
-    m = None
-    for d in range(len(S)):
-        k = axis_coord(S, d)
-        md = (k >= 1) & (k <= S[d] - 2) if d == j else (k >= 1)
-        m = md if m is None else (m & md)
-    return m
-
-
 def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick) -> jax.Array:
     """Momentum tendency r = -div(convective flux) + nu*laplacian, gather form.
 
@@ -111,12 +67,64 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick) -> jax.Array:
     """
     D = u.shape[0]
     S = u.shape[1:]
+    # single edge-padded buffer: every stencil read below is a slice of this
+    up = jnp.pad(u, [(0, 0)] + [(2, 2)] * D, mode="edge")
+
+    def win(c, offs):
+        """Component(s) ``c`` of ``u`` on the face window of sweep j,
+        offset by ``offs[d]`` cells along axis d.  Pure slice of ``up``."""
+        sl = []
+        for d in range(D):
+            o = offs.get(d, 0)
+            if d == offs["j"]:
+                sl.append(slice(3 + o, 2 + S[d] + o))
+            else:
+                sl.append(slice(2 + o, 2 + S[d] + o))
+        return up[(c,) + tuple(sl)]
+
     r = jnp.zeros_like(u)
     for j in range(D):
         periodic = j in perdir
-        flux = _face_flux_all(u, j, nu, periodic, limiter)
-        div_j = flux - shift(flux, j + 1, +1)
-        r = r + jnp.where(_support_mask(S, j), div_j, 0.0)
+        A = slice(None)  # all components
+        f = win(A, {"j": j})
+        fm1 = win(A, {"j": j, j: -1})
+        fm2 = win(A, {"j": j, j: -2})
+        fp1 = win(A, {"j": j, j: +1})
+        # advecting velocity: component j averaged onto the (i,j) face
+        # (ϕ, Flow.jl:3) — per-component transverse shift
+        w = jnp.stack([
+            0.5 * (win(j, {"j": j}) + win(j, {"j": j, i: -1}))
+            for i in range(D)], axis=0)
+
+        wshape = f.shape[1:]
+        k = axis_coord(wshape, j) + 1   # window position l -> face index k=l+1
+        cd = 0.5 * (f + fm1)
+        if periodic:
+            # ϕuP: face 1's far-upwind point wraps to interior plane S-3
+            wrap_sl = tuple(slice(S[d] - 3, S[d] - 2) if d == j else slice(None)
+                            for d in range(D))
+            wrap = u[(A,) + wrap_sl]
+            fm2 = jnp.where(k == 1, wrap, fm2)
+            pos = limiter(fm2, fm1, f)
+            neg = limiter(fp1, f, fm1)
+        else:
+            pos = jnp.where(k == 1, cd, limiter(fm2, fm1, f))          # ϕuL
+            neg = jnp.where(k == S[j] - 1, cd, limiter(fp1, f, fm1))   # ϕuR
+        flux = jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+        if periodic:
+            # upperBoundary! Val{true}: top face flux copies face 1 (Flow.jl:60)
+            first = jax.lax.slice_in_dim(flux, 0, 1, axis=j + 1)
+            flux = jnp.where(k == S[j] - 1, first, flux)
+
+        # gather: r[k] = F[k] - F[k+1] on the reference's write support
+        lo = jax.lax.slice_in_dim(flux, 0, S[j] - 2, axis=j + 1)
+        hi = jax.lax.slice_in_dim(flux, 1, S[j] - 1, axis=j + 1)
+        contrib = lo - hi
+        # transverse support is 1..S-1 (top ghost included, bottom excluded)
+        sl = tuple(slice(None) if d == j else slice(1, None) for d in range(D))
+        contrib = contrib[(A,) + sl]
+        pads = [(0, 0)] + [(1, 1) if d == j else (1, 0) for d in range(D)]
+        r = r + jnp.pad(contrib, pads)
     return r
 
 

@@ -23,8 +23,13 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..grid import shift, interior_mask, mask_interior, inside_count
+from ..grid import (shift, interior_view, interior_mask, mask_interior,
+                    inside_count)
 from .bc import bc_scalar_periodic
+
+
+def _off(D, i, v):
+    return tuple(v if d == i else 0 for d in range(D))
 
 __all__ = ["PoissonLevel", "make_level", "mult", "residual", "jacobi", "pcg",
            "smooth", "increment", "poisson_solve"]
@@ -42,13 +47,17 @@ class PoissonLevel:
 
 
 def _diag(L: jax.Array) -> jax.Array:
-    """D[I] = -Σᵢ (L[I,i] + L[I+δᵢ,i]) on the interior (src/Poisson.jl:48-54)."""
+    """D[I] = -Σᵢ (L[I,i] + L[I+δᵢ,i]) on the interior (src/Poisson.jl:48-54).
+
+    Ghost-padded grids make every stencil neighbour of an interior cell a
+    valid array position, so all reads are pure slices — XLA fuses the whole
+    expression into one pass (rolls would materialise shifted copies)."""
     D = L.shape[0]
-    S = L.shape[1:]
-    s = jnp.zeros(S, L.dtype)
+    s = None
     for i in range(D):
-        s = s - (L[i] + shift(L[i], i, +1))
-    return mask_interior(s)
+        t = interior_view(L[i], D) + interior_view(L[i], D, _off(D, i, +1))
+        s = t if s is None else s + t
+    return jnp.pad(-s, 1)
 
 
 def make_level(L: jax.Array, perdir: tuple = ()) -> PoissonLevel:
@@ -60,25 +69,35 @@ def make_level(L: jax.Array, perdir: tuple = ()) -> PoissonLevel:
     return PoissonLevel(L=L, D=Dd, iD=iD, perdir=perdir)
 
 
+def _mult_interior(lev: PoissonLevel, x: jax.Array) -> jax.Array:
+    """Interior of A·x, all-slice form (caller handles periodic ghosts)."""
+    D = lev.L.shape[0]
+    s = interior_view(x, D) * interior_view(lev.D, D)
+    for i in range(D):
+        lo, hi = _off(D, i, -1), _off(D, i, +1)
+        s = (s + interior_view(x, D, lo) * interior_view(lev.L[i], D)
+             + interior_view(x, D, hi) * interior_view(lev.L[i], D, hi))
+    return s
+
+
 def mult(lev: PoissonLevel, x: jax.Array) -> jax.Array:
     """z = A x with zero ghosts (reference ``mult!``, src/Poisson.jl:62-75)."""
     x = bc_scalar_periodic(x, lev.perdir)
-    D = lev.L.shape[0]
-    s = x * lev.D
-    for i in range(D):
-        s = s + shift(x, i, -1) * lev.L[i] + shift(x, i, +1) * shift(lev.L[i], i, +1)
-    return mask_interior(s)
+    return jnp.pad(_mult_interior(lev, x), 1)
 
 
 def residual(lev: PoissonLevel, x: jax.Array, z: jax.Array) -> jax.Array:
     """r = z - Ax, zeroed inside bodies and mean-corrected for solvability
     (reference ``residual!``, src/Poisson.jl:91-97)."""
-    ax = mult(lev, x)
-    r = mask_interior(jnp.where(lev.iD == 0, 0.0, z - ax))
-    s = jnp.sum(r) / inside_count(x.shape)
+    D = len(x.shape)
+    xb = bc_scalar_periodic(x, lev.perdir)
+    ax = _mult_interior(lev, xb)
+    r_int = jnp.where(interior_view(lev.iD, D) == 0, 0.0,
+                      interior_view(z, D) - ax)
+    s = jnp.sum(r_int) / inside_count(x.shape)
     eps = jnp.finfo(x.dtype).eps
     corr = jnp.where(jnp.abs(s) <= 2 * eps, 0.0, s).astype(x.dtype)
-    return r - corr * interior_mask(x.shape)
+    return jnp.pad(r_int - corr, 1)
 
 
 def increment(lev: PoissonLevel, x, r, eps):
