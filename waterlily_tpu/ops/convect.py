@@ -64,67 +64,72 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick) -> jax.Array:
     ghost cells are (not) written: the returned array is zero wherever the
     reference never writes, so the BDIM first-moment stencil sees identical
     neighbour values.
+
+    Performance shape: the flux expression is *inlined twice* (at face k and
+    face k+1 of every cell) instead of materialising a face array — the
+    whole tendency, all D sweeps included, becomes ONE elementwise fusion
+    over slices of a single edge-padded buffer.  This doubles the limiter
+    FLOPs but reads ``u`` once and writes ``r`` once; the op is ~10:1
+    bandwidth-bound on TPU so trading FLOPs for HBM passes wins ~4x.
     """
     D = u.shape[0]
     S = u.shape[1:]
     # single edge-padded buffer: every stencil read below is a slice of this
     up = jnp.pad(u, [(0, 0)] + [(2, 2)] * D, mode="edge")
 
-    def win(c, offs):
-        """Component(s) ``c`` of ``u`` on the face window of sweep j,
-        offset by ``offs[d]`` cells along axis d.  Pure slice of ``up``."""
-        sl = []
-        for d in range(D):
-            o = offs.get(d, 0)
-            if d == offs["j"]:
-                sl.append(slice(3 + o, 2 + S[d] + o))
-            else:
-                sl.append(slice(2 + o, 2 + S[d] + o))
-        return up[(c,) + tuple(sl)]
+    def cells(c, offs=None):
+        """Component(s) ``c`` of ``u`` on the full cell grid, offset by
+        ``offs[d]`` along axis d.  Pure slice of ``up`` (|off| <= 2)."""
+        offs = offs or {}
+        sl = tuple(slice(2 + offs.get(d, 0), 2 + S[d] + offs.get(d, 0))
+                   for d in range(D))
+        return up[(c,) + sl]
 
-    r = jnp.zeros_like(u)
-    for j in range(D):
-        periodic = j in perdir
-        A = slice(None)  # all components
-        f = win(A, {"j": j})
-        fm1 = win(A, {"j": j, j: -1})
-        fm2 = win(A, {"j": j, j: -2})
-        fp1 = win(A, {"j": j, j: +1})
-        # advecting velocity: component j averaged onto the (i,j) face
-        # (ϕ, Flow.jl:3) — per-component transverse shift
-        w = jnp.stack([
-            0.5 * (win(j, {"j": j}) + win(j, {"j": j, i: -1}))
-            for i in range(D)], axis=0)
+    A = slice(None)
 
-        wshape = f.shape[1:]
-        k = axis_coord(wshape, j) + 1   # window position l -> face index k=l+1
+    def face_flux(j, s, periodic):
+        """Flux through face ``k+s`` of every cell ``k`` (s in {0,1}),
+        for all momentum components, as an unmaterialised expression."""
+        f = cells(A, {j: s})
+        fm1 = cells(A, {j: s - 1})
+        fm2 = cells(A, {j: s - 2})
+        fp1 = cells(A, {j: s + 1})
+        w = jnp.stack([0.5 * (cells(j, {j: s}) + cells(j, {j: s, i: -1}))
+                       if i != j else 0.5 * (cells(j, {j: s}) + cells(j, {j: s - 1}))
+                       for i in range(D)], axis=0)
+        kf = axis_coord(S, j) + s   # face index at each cell position
         cd = 0.5 * (f + fm1)
         if periodic:
             # ϕuP: face 1's far-upwind point wraps to interior plane S-3
             wrap_sl = tuple(slice(S[d] - 3, S[d] - 2) if d == j else slice(None)
                             for d in range(D))
-            wrap = u[(A,) + wrap_sl]
-            fm2 = jnp.where(k == 1, wrap, fm2)
+            fm2 = jnp.where(kf == 1, u[(A,) + wrap_sl], fm2)
             pos = limiter(fm2, fm1, f)
             neg = limiter(fp1, f, fm1)
         else:
-            pos = jnp.where(k == 1, cd, limiter(fm2, fm1, f))          # ϕuL
-            neg = jnp.where(k == S[j] - 1, cd, limiter(fp1, f, fm1))   # ϕuR
-        flux = jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
-        if periodic:
-            # upperBoundary! Val{true}: top face flux copies face 1 (Flow.jl:60)
-            first = jax.lax.slice_in_dim(flux, 0, 1, axis=j + 1)
-            flux = jnp.where(k == S[j] - 1, first, flux)
+            pos = jnp.where(kf == 1, cd, limiter(fm2, fm1, f))          # ϕuL
+            neg = jnp.where(kf == S[j] - 1, cd, limiter(fp1, f, fm1))   # ϕuR
+        return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
 
-        # gather: r[k] = F[k] - F[k+1] on the reference's write support
-        lo = jax.lax.slice_in_dim(flux, 0, S[j] - 2, axis=j + 1)
-        hi = jax.lax.slice_in_dim(flux, 1, S[j] - 1, axis=j + 1)
-        contrib = lo - hi
-        # transverse support is 1..S-1 (top ghost included, bottom excluded)
-        sl = tuple(slice(None) if d == j else slice(1, None) for d in range(D))
-        contrib = contrib[(A,) + sl]
-        pads = [(0, 0)] + [(1, 1) if d == j else (1, 0) for d in range(D)]
-        r = r + jnp.pad(contrib, pads)
+    r = jnp.zeros_like(u)
+    for j in range(D):
+        periodic = j in perdir
+        Fk = face_flux(j, 0, periodic)
+        Fk1 = face_flux(j, 1, periodic)
+        if periodic:
+            # upperBoundary! Val{true}: the top face flux (face S-1, seen as
+            # face k+1 of cell S-2) copies face 1's flux (Flow.jl:60)
+            k = axis_coord(S, j)
+            face1 = tuple(slice(1, 2) if d == j else slice(None)
+                          for d in range(D))
+            Fk1 = jnp.where(k + 1 == S[j] - 1, Fk[(A,) + face1], Fk1)
+        # reference write support: cells 1..S-2 along j, 1..S-1 transverse
+        m = None
+        for d in range(D):
+            kd = axis_coord(S, d)
+            md = (kd >= 1) & (kd <= S[d] - 2) if d == j else (kd >= 1)
+            m = md if m is None else m & md
+        r = r + jnp.where(m, Fk - Fk1, 0.0)
     return r
 
 
