@@ -144,3 +144,58 @@ def test_grad_ke_wrt_re():
     _, dke = jax.jvp(ke_of_re, (re0,), (1.0,))
     fd = (ke_of_re(re0 + 1) - ke_of_re(re0 - 1)) / 2
     assert np.isclose(float(dke), float(fd), rtol=1e-1)
+
+
+def test_grad_lift_wrt_spin():
+    """d(lift)/d(spin ratio) for a spinning cylinder via jax.jvp matches
+    finite differences (maintests.jl:263-277) — differentiates through the
+    BDIM body measurement (jax.grad sdf normals + map Jacobians) and the
+    full predictor/corrector multigrid solver."""
+    from waterlily_tpu.flow import FlowConfig, flow_init, mom_step
+    from waterlily_tpu.body import AutoBody, measure_fields
+    from waterlily_tpu.ops.multigrid import build_levels
+
+    Dm, Re, U = 16, 500, 1.0
+    C, R = float(2 * Dm) / 2, Dm // 2
+
+    def lift(xi, t_end=0.5):
+        xi = jnp.asarray(xi, jnp.float64)
+
+        def sdf(x, t):
+            return jnp.sqrt(jnp.sum(x * x)) - R
+
+        def mp(x, t):
+            a = xi * U * t / R
+            s, c = jnp.sin(a), jnp.cos(a)
+            Rm = jnp.array([[c, -s], [s, c]], x.dtype)
+            return Rm @ (x - Dm)
+
+        body = AutoBody(sdf, mp)
+        S = (2 * Dm + 2, 2 * Dm + 2)
+        cfg = FlowConfig(D=2, S=S, nu=U * Dm / Re, U=(U, 0.0),
+                         dtype=jnp.float64)
+        state = flow_init(cfg)
+        V, m0, m1, _ = measure_fields(body, S, 0.0, 1.0, (), False, cfg.dtype)
+        state = state._replace(V=V, mu0=m0, mu1=m1)
+        levels = build_levels(m0)
+
+        def cond(c):
+            s, k = c
+            return (s.t * U / Dm < t_end) & (k < 60)
+
+        def body_fn(c):
+            s, k = c
+            s, _ = mom_step(cfg, levels, s)
+            return s, k + 1
+
+        state, _ = jax.lax.while_loop(cond, body_fn, (state, 0))
+        # total force (pressure + viscous), y-component, normalized
+        from waterlily_tpu.metrics import total_force
+        f = total_force(state.u, state.p, cfg.nu, body, state.t)
+        return f[1] / (xi ** 2 * U ** 2 * Dm)
+
+    xi0 = 2.0
+    _, dlift = jax.jvp(lift, (xi0,), (1.0,))
+    h = 1e-6
+    fd = (lift(xi0 + h) - lift(xi0 - h)) / (2 * h)
+    assert np.isclose(float(dlift), float(fd), rtol=np.sqrt(h) * 10)
