@@ -16,8 +16,7 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .grid import (interior, interior_view, interior_mask, mask_interior,
-                   shift, apply_field)
+from .grid import interior, interior_view, interior_mask, apply_field
 from .ops.bc import bc_vector, bc_scalar_periodic, exit_bc
 from .ops.convect import conv_diff, accelerate, quick
 from .ops.multigrid import ml_solve

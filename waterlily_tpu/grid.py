@@ -23,7 +23,6 @@ Conventions (all 0-based):
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

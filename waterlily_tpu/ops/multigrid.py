@@ -20,8 +20,7 @@ import jax.numpy as jnp
 
 from ..grid import interior, interior_view
 from .bc import bc_vector, bc_scalar_periodic
-from .poisson import (PoissonLevel, make_level, residual, jacobi, pcg,
-                      smooth, increment)
+from .poisson import make_level, residual, jacobi, smooth, increment
 
 __all__ = ["n_levels", "coarse_shape", "restrict", "restrict_L", "prolongate",
            "build_levels", "update_levels", "vcycle", "ml_solve"]

@@ -17,7 +17,6 @@ sharded levels.
 """
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -14,13 +14,12 @@ host synchronisation at all.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .flow import FlowConfig, FlowState, flow_init, mom_step
+from .flow import FlowConfig, flow_init, mom_step
 from .body import NoBody, measure_fields
 from .ops.multigrid import build_levels
 from .ops.convect import quick
