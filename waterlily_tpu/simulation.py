@@ -186,6 +186,27 @@ class Simulation:
             self.steps(chunk, remeasure=remeasure)
         return self
 
+    def run_record(self, t_end, every=0.5, fields=None, remeasure=True):
+        """Integrate to ``t_end`` sampling diagnostics every ``every`` tU/L.
+
+        ``fields`` maps names to callables ``fn(sim) -> value`` (e.g. jitted
+        force evaluations).  Stepping happens in `lax.scan` chunks sized to
+        the sampling interval, so the host syncs once per sample.  Returns
+        ``{"t": [...], name: [...], ...}``.
+        """
+        fields = fields or {}
+        out = {"t": []}
+        for name in fields:
+            out[name] = []
+        while self.sim_time < t_end:
+            dt_nd = float(self.flow.dt) * self.U / self.L
+            n = max(1, int(every / max(dt_nd, 1e-9)))
+            self.steps(n, remeasure=remeasure)
+            out["t"].append(self.sim_time)
+            for name, fn in fields.items():
+                out[name].append(np.asarray(fn(self)))
+        return out
+
     def write_log(self, fname="WaterLily.log"):
         """Dump captured pressure-solver residual traces in the reference's
         log format (src/util.jl:16-24): ``p/c, iter, r∞, r₂`` rows."""
