@@ -20,6 +20,8 @@ REFERENCE_WALL_S = 40.0   # README.md:128-131, 1x NVIDIA GPU, CuArray+Float32
 
 def main():
     quick = "--quick" in sys.argv
+    from waterlily_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from waterlily_tpu.models.cases import sphere_3d
 
     n, m = 96, 64
