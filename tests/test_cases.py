@@ -3,8 +3,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from waterlily_tpu.models.cases import (circle_2d, tgv_2d, sphere_3d,
-                                        donut_3d, oscillating_plate_2d)
+from waterlily_tpu.models.cases import (circle_2d, tgv_2d, tgv_3d, sphere_3d,
+                                        donut_3d, oscillating_plate_2d,
+                                        heaving_sphere_3d)
 
 
 @pytest.mark.parametrize("make,kw,remeasure", [
@@ -13,6 +14,8 @@ from waterlily_tpu.models.cases import (circle_2d, tgv_2d, sphere_3d,
     (sphere_3d, dict(n=24, m=16), False),
     (donut_3d, dict(n=16), False),
     (oscillating_plate_2d, dict(L=16), True),
+    (tgv_3d, dict(L=16), False),
+    (heaving_sphere_3d, dict(radius=4), True),
 ])
 def test_case_steps(make, kw, remeasure):
     sim = make(dtype=jnp.float32, **kw)

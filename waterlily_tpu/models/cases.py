@@ -12,7 +12,8 @@ import numpy as np
 from ..body import AutoBody
 from ..simulation import Simulation
 
-__all__ = ["circle_2d", "tgv_2d", "sphere_3d", "donut_3d", "oscillating_plate_2d"]
+__all__ = ["circle_2d", "tgv_2d", "tgv_3d", "sphere_3d", "donut_3d",
+           "oscillating_plate_2d", "heaving_sphere_3d"]
 
 
 def _norm2(x):
@@ -40,6 +41,45 @@ def tgv_2d(L=64, Re=1e5, dtype=jnp.float32, **kw):
 
     return Simulation((L, L), (0, 0), L, U=1, nu=nu, perdir=(0, 1),
                       ulam=ulam, dtype=dtype, **kw)
+
+
+def tgv_3d(L=32, Re=1600, dtype=jnp.float32, **kw):
+    """3D Taylor-Green vortex, fully periodic — the classic transition-to-
+    turbulence benchmark (structural extension of the reference's 2D TGV)."""
+    kappa = 2 * np.pi / L
+    nu = 1 / (kappa * Re)
+
+    def ulam(i, x):
+        xs, ys, zs = x[0] * kappa, x[1] * kappa, x[2] * kappa
+        if i == 0:
+            return jnp.sin(xs) * jnp.cos(ys) * jnp.cos(zs)
+        if i == 1:
+            return -jnp.cos(xs) * jnp.sin(ys) * jnp.cos(zs)
+        return jnp.zeros_like(xs)
+
+    return Simulation((L, L, L), (0, 0, 0), L, U=1, nu=nu, perdir=(0, 1, 2),
+                      ulam=ulam, dtype=dtype, **kw)
+
+
+def heaving_sphere_3d(radius=8, amp=None, St=0.3, Re=250, U=1,
+                      dtype=jnp.float32, **kw):
+    """Heaving sphere — the 3D moving-body BDIM path (per-step remeasure
+    with a time-dependent map, 3D analog of the oscillating plate)."""
+    amp = radius if amp is None else amp
+    f = St * U / (2 * amp)
+    center = 2 * radius
+
+    def sdf(x, t):
+        return _norm2(x) - radius
+
+    def map(x, t):
+        y = amp * jnp.sin(2 * jnp.pi * f * t)
+        return x - jnp.array([center, center + y, center], x.dtype)
+
+    body = AutoBody(sdf, map)
+    return Simulation((4 * radius, 4 * radius, 4 * radius), (U, 0, 0),
+                      2 * radius, nu=U * 2 * radius / Re, body=body,
+                      dtype=dtype, **kw)
 
 
 def sphere_3d(n=96, m=64, Re=100, U=1, dtype=jnp.float32, **kw):
