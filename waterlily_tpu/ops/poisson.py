@@ -39,10 +39,12 @@ __all__ = ["PoissonLevel", "make_level", "mult", "residual", "jacobi", "pcg",
 class PoissonLevel:
     """One multigrid level: face coefficients + derived (inverse) diagonal.
 
+    ``blocked`` (static) selects the big-3D blocked Pallas stencil path;
     ``perdir`` is static pytree metadata (it selects program structure)."""
     L: jax.Array      # (D, *S) lower-diagonal face coefficients
     D: jax.Array      # (*S) diagonal, zero in ghosts
     iD: jax.Array     # (*S) guarded inverse diagonal (0 inside bodies)
+    blocked: bool = struct.field(pytree_node=False, default=False)
     perdir: tuple = struct.field(pytree_node=False, default=())
 
 
@@ -62,11 +64,14 @@ def _diag(L: jax.Array) -> jax.Array:
 
 def make_level(L: jax.Array, perdir: tuple = ()) -> PoissonLevel:
     """Build a level from face coefficients (reference ``set_diag!``)."""
+    from .pallas_stencil import use_blocked
     Dd = _diag(L)
     eps = jnp.finfo(L.dtype).eps
     guard = Dd * Dd < 2 * eps
     iD = jnp.where(guard, 0.0, 1.0 / jnp.where(guard, 1.0, Dd)).astype(L.dtype)
-    return PoissonLevel(L=L, D=Dd, iD=iD, perdir=perdir)
+    return PoissonLevel(L=L, D=Dd, iD=iD,
+                        blocked=use_blocked(L.shape[1:], L.dtype),
+                        perdir=perdir)
 
 
 def _mult_interior(lev: PoissonLevel, x: jax.Array) -> jax.Array:
@@ -83,6 +88,9 @@ def _mult_interior(lev: PoissonLevel, x: jax.Array) -> jax.Array:
 def mult(lev: PoissonLevel, x: jax.Array) -> jax.Array:
     """z = A x with zero ghosts (reference ``mult!``, src/Poisson.jl:62-75)."""
     x = bc_scalar_periodic(x, lev.perdir)
+    if lev.blocked:
+        from .pallas_stencil import mult3d_pallas
+        return mult3d_pallas(lev.L, lev.D, x, x.shape)
     return jnp.pad(_mult_interior(lev, x), 1)
 
 
@@ -91,7 +99,11 @@ def residual(lev: PoissonLevel, x: jax.Array, z: jax.Array) -> jax.Array:
     (reference ``residual!``, src/Poisson.jl:91-97)."""
     D = len(x.shape)
     xb = bc_scalar_periodic(x, lev.perdir)
-    ax = _mult_interior(lev, xb)
+    if lev.blocked:
+        from .pallas_stencil import mult3d_pallas
+        ax = interior_view(mult3d_pallas(lev.L, lev.D, xb, x.shape), D)
+    else:
+        ax = _mult_interior(lev, xb)
     r_int = jnp.where(interior_view(lev.iD, D) == 0, 0.0,
                       interior_view(z, D) - ax)
     s = jnp.sum(r_int) / inside_count(x.shape)
@@ -107,6 +119,10 @@ def increment(lev: PoissonLevel, x, r, eps):
     ghost-zero so ``r`` stays ghost-zero.  Periodic-ghost pollution of ``x``
     is benign: every read of ``x`` ghosts goes through ``perBC`` first.
     """
+    if lev.blocked:
+        from .pallas_stencil import increment3d_pallas
+        eps = bc_scalar_periodic(eps, lev.perdir)
+        return increment3d_pallas(lev.L, lev.D, eps, x, r, x.shape)
     ae = mult(lev, eps)
     return x + eps, r - ae
 
