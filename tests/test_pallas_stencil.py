@@ -47,3 +47,13 @@ def test_blocked_increment(level_and_fields, block):
                                     interpret=True, block=block)
     assert np.allclose(np.asarray(x_ref), np.asarray(x_pl), atol=1e-6)
     assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
+
+
+def test_blocked_conv_diff():
+    from waterlily_tpu.ops.convect import conv_diff, quick
+    from waterlily_tpu.ops.pallas_stencil import conv_diff3d_pallas
+    S = (18, 14, 18)
+    u = jax.random.normal(jax.random.PRNGKey(0), (3,) + S, f32)
+    r_ref = conv_diff(u, 0.05)
+    r_pl = conv_diff3d_pallas(u, 0.05, quick, S, interpret=True)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)

@@ -74,6 +74,10 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick) -> jax.Array:
     """
     D = u.shape[0]
     S = u.shape[1:]
+    if D == 3 and not perdir:
+        from .pallas_stencil import use_blocked, conv_diff3d_pallas
+        if use_blocked(S, u.dtype):
+            return conv_diff3d_pallas(u, nu, limiter, S)
     # single edge-padded buffer: every stencil read below is a slice of this
     up = jnp.pad(u, [(0, 0)] + [(2, 2)] * D, mode="edge")
 

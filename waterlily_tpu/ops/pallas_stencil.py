@@ -40,10 +40,14 @@ BLOCK = 2  # slab rows; ~2x the block working set must fit 16MB VMEM at 256^3
 
 def _sub_roll(a, off):
     """a[.., j+off, ..] on the sublane axis; wraps land in global ghosts."""
+    if off == 0:
+        return a
     return jnp.roll(a, -off, axis=-2)
 
 
 def _lane_roll(a, off):
+    if off == 0:
+        return a
     return jnp.roll(a, -off, axis=-1)
 
 
@@ -147,3 +151,144 @@ def use_blocked(S, dtype) -> bool:
     return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
             and jax.default_backend() == "tpu"
             and math.prod(S) >= 2_000_000 and S[0] >= 2 * BLOCK)
+
+
+# --- blocked conv_diff (non-periodic 3D) -----------------------------------
+#
+# The QUICK flux sweeps are the other traffic-bloated op (XLA: ~224 field
+# passes).  Split by sweep axis: axes 1/2 taps are ghost-safe sublane/lane
+# rolls needing only one axis-0 halo row (for the advecting velocity's i=0
+# shift) — one kernel covers both sweeps for all components.  The axis-0
+# sweep needs ±2 halo rows, done per component to fit VMEM.  Periodic
+# directions fall back to the XLA path.
+
+
+BLOCK_CD = 1  # conv_diff slab rows: kernel temporaries dominate its VMEM
+
+
+def _supp(S, B, j):
+    """Reference write-support mask for sweep j on a slab (util.jl:180):
+    cells 1..S-2 along j, 1..S-1 transverse (global axis-0 row via grid id)."""
+    s0 = pl.program_id(0) * B
+    g0 = s0 + jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 0)
+    g1 = jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 1)
+    g2 = jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 2)
+    gs = (g0, g1, g2)
+    m = None
+    for d in range(3):
+        md = ((gs[d] >= 1) & (gs[d] <= S[d] - 2)) if d == j else (gs[d] >= 1)
+        m = md if m is None else m & md
+    return m
+
+
+def _convj12_kernel(S, nu, limiter, dtype, u_ref, u1u_ref, u2u_ref, out_ref):
+    """Sweeps j=1,2 for all components, accumulated per-component to bound
+    the kernel's live VMEM temporaries."""
+    B = BLOCK_CD
+    for j in (1, 2):
+        roll = _sub_roll if j == 1 else _lane_roll
+        kf = jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), j)
+        supp = _supp(S, B, j)
+        uj = u_ref[j]
+        uju = (u1u_ref if j == 1 else u2u_ref)[0, 0]
+        # advecting component shifted -1 along axis 0: halo row prepended
+        if B == 1:
+            ujm0 = uju[None]
+        else:
+            ujm0 = jnp.concatenate([uju[None], uj[:B - 1]], axis=0)
+        for i in range(3):
+            fi = u_ref[i]
+            if i == 0:
+                ws = lambda o: roll(ujm0, o)
+            elif i == j:
+                ws = lambda o: roll(uj, o - 1)
+            elif i == 1:
+                ws = lambda o: _sub_roll(roll(uj, o), -1)
+            else:
+                ws = lambda o: _lane_roll(roll(uj, o), -1)
+
+            def flux(s):
+                f, fm1 = roll(fi, s), roll(fi, s - 1)
+                w = 0.5 * (roll(uj, s) + ws(s))
+                cd = 0.5 * (f + fm1)
+                pos = jnp.where(kf + s == 1, cd,
+                                limiter(roll(fi, s - 2), fm1, f))
+                neg = jnp.where(kf + s == S[j] - 1, cd,
+                                limiter(roll(fi, s + 1), f, fm1))
+                return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+            contrib = jnp.where(supp, flux(0) - flux(1), 0.0).astype(dtype)
+            if j == 1:
+                out_ref[i] = contrib
+            else:
+                out_ref[i] = out_ref[i] + contrib
+
+
+def _convj0_kernel(S, nu, limiter, dtype, comp, fc_ref, fu2_ref, fu1_ref,
+                   fd1_ref, fd2_ref, wc_ref, wu_ref, wd_ref, r12_ref, out_ref):
+    B = BLOCK_CD
+    fe = jnp.concatenate([fu2_ref[0], fu1_ref[0], fc_ref[0], fd1_ref[0],
+                          fd2_ref[0]], axis=0)          # (B+4, S1, S2)
+    we = jnp.concatenate([wu_ref[0], wc_ref[0], wd_ref[0]], axis=0)  # (B+2,...)
+    tap = lambda o: fe[2 + o:2 + o + B]
+    tapw = lambda o: we[1 + o:1 + o + B]
+    s0 = pl.program_id(0) * B
+    kf = s0 + jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 0)
+    if comp == 1:
+        wshift_i = lambda o: _sub_roll(tapw(o), -1)
+    elif comp == 2:
+        wshift_i = lambda o: _lane_roll(tapw(o), -1)
+    else:
+        wshift_i = lambda o: tapw(o - 1)
+
+    def flux(s):
+        f, fm1, fm2, fp1 = tap(s), tap(s - 1), tap(s - 2), tap(s + 1)
+        w = 0.5 * (tapw(s) + wshift_i(s))
+        cd = 0.5 * (f + fm1)
+        pos = jnp.where(kf + s == 1, cd, limiter(fm2, fm1, f))
+        neg = jnp.where(kf + s == S[0] - 1, cd, limiter(fp1, f, fm1))
+        return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+    contrib = flux(0) - flux(1)
+    out_ref[...] = (r12_ref[0]
+                    + jnp.where(_supp(S, B, 0), contrib, 0.0)).astype(dtype)
+
+
+def conv_diff3d_pallas(u, nu, limiter, S, interpret=False):
+    """Full non-periodic conv_diff via blocked kernels (one for sweeps 1&2,
+    one per component for sweep 0), partials summed by aliased accumulation."""
+    dtype = u.dtype
+    B = BLOCK_CD
+    G = pl.cdiv(S[0], B)
+    up = lambda i: (jnp.maximum(i * B - 1, 0), 0, 0)
+    dn = lambda i: (jnp.minimum(i * B + B, S[0] - 1), 0, 0)
+    up2 = lambda i: (jnp.maximum(i * B - 2, 0), 0, 0)
+    dn2 = lambda i: (jnp.minimum(i * B + B + 1, S[0] - 1), 0, 0)
+    crow = lambda c, f: pl.BlockSpec((1, 1, S[1], S[2]),
+                                     lambda i, c=c, f=f: (c, *f(i)))
+    cslab = lambda c: pl.BlockSpec((1, B, S[1], S[2]), lambda i, c=c: (c, i, 0, 0))
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
+
+    r12 = pl.pallas_call(
+        partial(_convj12_kernel, S, nu, limiter, dtype),
+        grid=(G,),
+        in_specs=[pl.BlockSpec((3, B, S[1], S[2]), lambda i: (0, i, 0, 0)),
+                  crow(1, up), crow(2, up)],
+        out_specs=pl.BlockSpec((3, B, S[1], S[2]), lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3,) + S, dtype),
+        interpret=interpret,
+    )(u, u, u)
+
+    comps = []
+    for i in range(3):
+        comps.append(pl.pallas_call(
+            partial(_convj0_kernel, S, nu, limiter, dtype, i),
+            grid=(G,),
+            in_specs=[cslab(i), crow(i, up2), crow(i, up), crow(i, dn),
+                      crow(i, dn2), cslab(0), crow(0, up), crow(0, dn),
+                      cslab(i)],
+            out_specs=slab,
+            out_shape=jax.ShapeDtypeStruct(S, dtype),
+            interpret=interpret,
+        )(u, u, u, u, u, u, u, u, r12))
+    return jnp.stack(comps, axis=0)
