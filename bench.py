@@ -39,7 +39,7 @@ def main():
     wall = time.perf_counter() - t0
 
     steps = len(sim.pois_n) - n_warm
-    cells = (n + 2) * (m + 2) * (m + 2)
+    cells = n * m * m  # interior cells, matching utils.perf.mlups
     mlups = steps * cells / wall / 1e6
     scale = t_end / 50.0  # pro-rate the reference baseline for --quick
     out = {

@@ -57,3 +57,59 @@ def test_blocked_conv_diff():
     r_ref = conv_diff(u, 0.05)
     r_pl = conv_diff3d_pallas(u, 0.05, quick, S, interpret=True)
     assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
+
+
+def test_use_blocked_gates_off_when_sharded(monkeypatch):
+    """GSPMD cannot partition Mosaic custom calls: the dispatch gate must be
+    off for sharded layouts even on TPU at qualifying sizes."""
+    from waterlily_tpu.ops import pallas_stencil as ps
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    S = (258, 258, 258)
+    assert ps.use_blocked(S, f32) is True
+    assert ps.use_blocked(S, f32, sharded=True) is False
+    # other gates unchanged
+    assert ps.use_blocked((18, 18, 18), f32) is False      # too small
+    assert ps.use_blocked(S, jnp.float64) is False          # dtype
+    assert ps.use_blocked((258, 258), f32) is False         # 2D
+
+
+def test_pcg_auto_falls_back_when_sharded(monkeypatch):
+    """pcg_auto must take the XLA path for sharded levels even on TPU."""
+    from waterlily_tpu.ops import pallas_kernels as pk
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    S = (10, 10)
+    L = bc_vector(jnp.ones((2,) + S, f32), (0.0,) * 2)
+    lev = make_level(L, sharded=True)
+    assert lev.sharded and not lev.blocked
+    x = jnp.zeros(S, f32)
+    r = jnp.zeros(S, f32)
+    called = {}
+
+    def sentinel(lev, x, r, it):
+        called["xla"] = True
+        return x, r
+
+    pk.pcg_auto(lev, x, r, 6, xla_pcg=sentinel)
+    assert called.get("xla")
+
+
+def test_build_levels_threads_sharded_flag(monkeypatch):
+    from waterlily_tpu.ops.multigrid import build_levels, update_levels
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    mu0 = bc_vector(jnp.ones((3, 130, 130, 130), f32), (0.0,) * 3)
+    levs = build_levels(mu0, sharded=True)
+    assert all(l.sharded and not l.blocked for l in levs)
+    levs2 = update_levels(levs, mu0)
+    assert all(l.sharded and not l.blocked for l in levs2)
+
+
+def test_constrain_levels_forces_sharded_flags():
+    from waterlily_tpu.ops.multigrid import build_levels
+    from waterlily_tpu.parallel.mesh import make_mesh, constrain_levels
+    mu0 = bc_vector(jnp.ones((2, 34, 34), f32), (0.0,) * 2)
+    levs = build_levels(mu0)          # built WITHOUT the flag
+    mesh = make_mesh(8)
+    # constraints only work inside jit (uneven N+2 dims); static flags ride
+    # the output pytree structure, so the jitted result carries them
+    out = jax.jit(lambda l: constrain_levels(l, mesh))(levs)
+    assert all(l.sharded and not l.blocked for l in out)

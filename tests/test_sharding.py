@@ -43,3 +43,20 @@ def test_sharded_step_matches_single(axes, perdir):
     assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
     assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
     assert int(aux["pois_n"][0]) == int(aux_ref["pois_n"][0])
+
+
+def test_simulation_mesh_kwarg_matches_single_device():
+    """The production GSPMD path — Simulation(mesh=...) — on a 3D sphere with
+    per-step remeasure (build_levels under sharding) vs the unsharded sim."""
+    from waterlily_tpu.models.cases import sphere_3d
+    mesh = make_mesh(8, axes=("x", "y"))
+    sim_s = sphere_3d(n=24, m=16, dtype=f32, mesh=mesh)
+    sim_r = sphere_3d(n=24, m=16, dtype=f32)
+    assert sim_s.cfg.sharded and all(l.sharded for l in sim_s.levels)
+    sim_s.steps(3, remeasure=True)
+    sim_r.steps(3, remeasure=True)
+    assert np.allclose(np.asarray(sim_s.flow.u), np.asarray(sim_r.flow.u),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(sim_s.flow.p), np.asarray(sim_r.flow.p),
+                       atol=1e-4)
+    assert [list(r) for r in sim_s.pois_n] == [list(r) for r in sim_r.pois_n]

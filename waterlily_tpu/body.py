@@ -21,7 +21,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .grid import loc_grid, interior
+from .grid import loc_grid, interior, mask_interior
 from .ops.bc import bc_vector
 
 __all__ = ["AbstractBody", "AutoBody", "Bodies", "NoBody", "measure", "sdf",
@@ -300,8 +300,10 @@ def measure_fields(body, S, t=0.0, eps=1.0, perdir=(), exitBC=False,
     V = jnp.stack(V_comps, axis=0).astype(dtype)
     m0 = jnp.stack(m0_comps, axis=0).astype(dtype)
     m1 = jnp.stack(m1_comps, axis=0).astype(dtype)
-    # the reference rasterizes interior cells only: μ₁ ghosts stay zero
+    # the reference rasterizes interior cells only: μ₁ ghosts stay zero, and
+    # V's ghosts are zero before BC fill so exitBC's saved exit plane stays 0
     m1 = jnp.zeros_like(m1).at[interior(D, lead=2)].set(m1[interior(D, lead=2)])
+    V = mask_interior(V, D)
     m0 = bc_vector(m0, (0.0,) * D, False, perdir)
     V = bc_vector(V, (0.0,) * D, exitBC, perdir)
     return V, m0, m1, d_center

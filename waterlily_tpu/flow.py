@@ -50,6 +50,7 @@ class FlowConfig(NamedTuple):
     tol: float = 1e-4
     itmx: int = 32
     log: bool = False              # capture per-iteration solver residual traces
+    sharded: bool = False          # GSPMD layout: disables all Pallas dispatch
 
 
 def bc_tuple(U, t, D, dtype):
@@ -144,7 +145,7 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
 
     # predictor u -> u'
     u = jnp.where(imask, 0.0, u0)                    # scale_u!(a, 0)
-    r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter)
+    r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded)
     r = accelerate(r, t, cfg.g, cfg.U, dtype)
     u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
@@ -154,7 +155,7 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
 
     # corrector u -> u¹
-    r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter)
+    r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded)
     r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
     u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
     u = jnp.where(imask, 0.5 * u, u)                 # scale_u!(a, 0.5)

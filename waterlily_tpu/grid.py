@@ -59,6 +59,8 @@ def interior(ndim: int, off=None, lead: int = 0) -> tuple:
     leading (component) axes.
     """
     off = (0,) * ndim if off is None else off
+    assert all(abs(o) <= 1 for o in off), (
+        f"interior offset {off} exceeds the 1-cell ghost ring")
     return (slice(None),) * lead + tuple(
         slice(1 + o, None if (-1 + o) == 0 else -1 + o) for o in off
     )

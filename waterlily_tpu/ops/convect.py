@@ -57,7 +57,8 @@ def vanleer(u, c, d):
     return jnp.where(keep, c, lim)
 
 
-def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick) -> jax.Array:
+def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
+              sharded: bool = False) -> jax.Array:
     """Momentum tendency r = -div(convective flux) + nu*laplacian, gather form.
 
     Faithful to reference `conv_diff!` (src/Flow.jl:36-51) including which
@@ -76,7 +77,7 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick) -> jax.Array:
     S = u.shape[1:]
     if D == 3 and not perdir:
         from .pallas_stencil import use_blocked, conv_diff3d_pallas
-        if use_blocked(S, u.dtype):
+        if use_blocked(S, u.dtype, sharded):
             return conv_diff3d_pallas(u, nu, limiter, S)
     # single edge-padded buffer: every stencil read below is a slice of this
     up = jnp.pad(u, [(0, 0)] + [(2, 2)] * D, mode="edge")

@@ -101,30 +101,32 @@ def prolongate(x_coarse: jax.Array, S_fine: tuple) -> jax.Array:
     return jnp.pad(v, 1)
 
 
-def build_levels(mu0: jax.Array, perdir: tuple = ()) -> tuple:
+def build_levels(mu0: jax.Array, perdir: tuple = (),
+                 sharded: bool = False) -> tuple:
     """Build the static level stack from the fine face coefficients.
 
     The fine ``L`` *is* the BDIM zeroth moment ``μ₀`` (src/WaterLily.jl:77);
     each coarse ``L`` is its restriction (reference ``restrictML``, :18-25).
+    ``sharded`` marks GSPMD layouts and disables Pallas dispatch per level.
     """
     S = mu0.shape[1:]
     nlev = n_levels(S)
-    levels = [make_level(mu0, perdir)]
+    levels = [make_level(mu0, perdir, sharded)]
     L = mu0
     for _ in range(nlev - 1):
         L = restrict_L(L, perdir)
-        levels.append(make_level(L, perdir))
+        levels.append(make_level(L, perdir, sharded))
     return tuple(levels)
 
 
 def update_levels(levels: tuple, mu0: jax.Array) -> tuple:
     """Re-restrict coefficients after body motion (reference ``update!``, :62-68)."""
-    perdir = levels[0].perdir
-    out = [make_level(mu0, perdir)]
+    perdir, sharded = levels[0].perdir, levels[0].sharded
+    out = [make_level(mu0, perdir, sharded)]
     L = mu0
     for _ in range(len(levels) - 1):
         L = restrict_L(L, perdir)
-        out.append(make_level(L, perdir))
+        out.append(make_level(L, perdir, sharded))
     return tuple(out)
 
 

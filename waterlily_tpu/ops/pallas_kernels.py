@@ -154,6 +154,7 @@ def pcg_auto(lev, x, r, it: int = 6, xla_pcg=None):
     """
     D = lev.L.shape[0]
     use = (HAS_PALLAS
+           and not lev.sharded  # GSPMD can't partition a Mosaic custom call
            and jax.default_backend() == "tpu"
            and x.dtype == jnp.float32
            and len(x.shape) >= 2

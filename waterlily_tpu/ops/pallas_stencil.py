@@ -146,9 +146,16 @@ def increment3d_pallas(L, Dd, eps, x, r, S, interpret=False, block=BLOCK):
     return x + eps, ro
 
 
-def use_blocked(S, dtype) -> bool:
-    """Dispatch gate: big 3D f32 grids on TPU (single-device layouts)."""
-    return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
+def use_blocked(S, dtype, sharded: bool = False) -> bool:
+    """Dispatch gate: big 3D f32 grids on TPU, single-device layouts ONLY.
+
+    ``sharded`` must be True for any GSPMD/spatially-decomposed program:
+    XLA cannot partition a Mosaic custom call, so a `pallas_call` on sharded
+    operands would replicate or miscompile.  Threaded from
+    ``FlowConfig.sharded`` / ``make_level(sharded=)``.
+    """
+    return (HAS_PALLAS and not sharded and len(S) == 3
+            and dtype == jnp.float32
             and jax.default_backend() == "tpu"
             and math.prod(S) >= 2_000_000 and S[0] >= 2 * BLOCK)
 

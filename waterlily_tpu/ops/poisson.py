@@ -40,12 +40,15 @@ class PoissonLevel:
     """One multigrid level: face coefficients + derived (inverse) diagonal.
 
     ``blocked`` (static) selects the big-3D blocked Pallas stencil path;
-    ``perdir`` is static pytree metadata (it selects program structure)."""
+    ``sharded`` (static) marks spatially-decomposed layouts, disabling ALL
+    Pallas dispatch (GSPMD cannot partition Mosaic custom calls); ``perdir``
+    is static pytree metadata (it selects program structure)."""
     L: jax.Array      # (D, *S) lower-diagonal face coefficients
     D: jax.Array      # (*S) diagonal, zero in ghosts
     iD: jax.Array     # (*S) guarded inverse diagonal (0 inside bodies)
     blocked: bool = struct.field(pytree_node=False, default=False)
     perdir: tuple = struct.field(pytree_node=False, default=())
+    sharded: bool = struct.field(pytree_node=False, default=False)
 
 
 def _diag(L: jax.Array) -> jax.Array:
@@ -62,7 +65,8 @@ def _diag(L: jax.Array) -> jax.Array:
     return jnp.pad(-s, 1)
 
 
-def make_level(L: jax.Array, perdir: tuple = ()) -> PoissonLevel:
+def make_level(L: jax.Array, perdir: tuple = (),
+               sharded: bool = False) -> PoissonLevel:
     """Build a level from face coefficients (reference ``set_diag!``)."""
     from .pallas_stencil import use_blocked
     Dd = _diag(L)
@@ -70,8 +74,8 @@ def make_level(L: jax.Array, perdir: tuple = ()) -> PoissonLevel:
     guard = Dd * Dd < 2 * eps
     iD = jnp.where(guard, 0.0, 1.0 / jnp.where(guard, 1.0, Dd)).astype(L.dtype)
     return PoissonLevel(L=L, D=Dd, iD=iD,
-                        blocked=use_blocked(L.shape[1:], L.dtype),
-                        perdir=perdir)
+                        blocked=use_blocked(L.shape[1:], L.dtype, sharded),
+                        perdir=perdir, sharded=sharded)
 
 
 def _mult_interior(lev: PoissonLevel, x: jax.Array) -> jax.Array:

@@ -71,11 +71,17 @@ def constrain_state(state: FlowState, mesh: Mesh) -> FlowState:
 
 def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple:
     """Pin multigrid levels: sharded while every sharded spatial dim keeps at
-    least ``min_per_shard`` interior cells per device, replicated below."""
+    least ``min_per_shard`` interior cells per device, replicated below.
+
+    Every returned level is marked ``sharded`` (and un-``blocked``): Pallas
+    Mosaic calls cannot be partitioned by GSPMD, so all Pallas dispatch must
+    stay off in a spatially-decomposed program — even for levels the caller
+    built without the flag."""
     out = []
     names = list(mesh.axis_names)
     for lev in levels:
         S = lev.D.shape
+        lev = lev.replace(sharded=True, blocked=False)
         ok = all((S[k] - 2) >= min_per_shard * mesh.shape[names[k]]
                  for k in range(min(len(names), len(S))))
         if ok:
@@ -93,6 +99,7 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
 
 def sharded_step_fn(cfg, mesh: Mesh):
     """Jitted momentum step with spatial-decomposition constraints."""
+    cfg = cfg._replace(sharded=True)
 
     def step(state, levels):
         state = constrain_state(state, mesh)
@@ -105,6 +112,7 @@ def sharded_step_fn(cfg, mesh: Mesh):
 
 def sharded_scan_fn(cfg, mesh: Mesh):
     """Jitted n-step scan under spatial decomposition (no host sync)."""
+    cfg = cfg._replace(sharded=True)
 
     def steps(state, levels, n):
         state = constrain_state(state, mesh)

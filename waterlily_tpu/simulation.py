@@ -40,12 +40,17 @@ class Simulation:
     - ``perdir``: periodic directions (0-based); ``exitBC``: convective outlet.
     - ``ulam``: initial velocity field ``uλ(i,x)``; ``body``: immersed geometry.
     - ``dtype``: array dtype (any float; use f32 on TPU).
+    - ``mesh``: a `jax.sharding.Mesh` for spatial domain decomposition (the
+      TPU-native scaling path the reference lacks).  Fields are constrained
+      along the mesh's spatial axes inside every jitted program; GSPMD
+      inserts halo exchanges and collective reductions over ICI.  All Pallas
+      dispatch is disabled (Mosaic calls cannot be partitioned).
     """
 
     def __init__(self, dims, u_BC, L, dt=0.25, nu=0.0, g=None, U=None,
                  epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
-                 log=False):
+                 log=False, mesh=None):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
@@ -55,11 +60,20 @@ class Simulation:
         self.L = float(L)
         self.epsilon = float(epsilon)
         self.body = NoBody() if body is None else body
+        self.mesh = mesh
         S = tuple(n + 2 for n in dims)
         self.cfg = FlowConfig(D=D, S=S, nu=float(nu), U=u_BC, g=g,
                               perdir=tuple(perdir), exitBC=bool(exitBC),
                               dtype=dtype, limiter=limiter, tol=float(tol),
-                              itmx=int(itmx), log=bool(log))
+                              itmx=int(itmx), log=bool(log),
+                              sharded=mesh is not None)
+        if mesh is not None:
+            from .parallel.mesh import constrain_state, constrain_levels
+            _cs = lambda s: constrain_state(s, mesh)
+            _cl = lambda l: constrain_levels(l, mesh)
+        else:
+            _cs = _cl = lambda x: x
+        self._cs, self._cl = _cs, _cl
         # one jitted program for the whole construction: initial condition,
         # BDIM rasterization and the multigrid level stack.  (Eager
         # construction would dispatch hundreds of individually-compiled ops —
@@ -71,7 +85,7 @@ class Simulation:
             V, m0, m1, _ = measure_fields(body0, S, 0.0, eps0, cfg0.perdir,
                                           cfg0.exitBC, dtype)
             state = state._replace(V=V, mu0=m0, mu1=m1)
-            return state, build_levels(m0, cfg0.perdir)
+            return _cs(state), _cl(build_levels(m0, cfg0.perdir, cfg0.sharded))
 
         self.flow, self.levels = jax.jit(_init)()
 
@@ -83,15 +97,19 @@ class Simulation:
         cfg, eps_, body_ = self.cfg, self.epsilon, self.body
 
         def step_static(state, levels):
-            return mom_step(cfg, levels, state)
+            state, levels = _cs(state), _cl(levels)
+            new, aux = mom_step(cfg, levels, state)
+            return _cs(new), aux
 
         def step_remeasure(state, levels):
+            state = _cs(state)
             V, m0, m1, _ = measure_fields(body_, cfg.S, state.t + state.dt,
                                           eps_, cfg.perdir, cfg.exitBC,
                                           cfg.dtype)
             state = state._replace(V=V, mu0=m0, mu1=m1)
-            levels = build_levels(m0, cfg.perdir)
-            return mom_step(cfg, levels, state)
+            levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded))
+            new, aux = mom_step(cfg, levels, state)
+            return _cs(new), aux
 
         self._step_static = jax.jit(step_static)
         self._step_remeasure = jax.jit(step_remeasure)
@@ -132,7 +150,7 @@ class Simulation:
         def _measure(t):
             V, m0, m1, _ = measure_fields(body, cfg.S, t, eps, cfg.perdir,
                                           cfg.exitBC, cfg.dtype)
-            return V, m0, m1, build_levels(m0, cfg.perdir)
+            return V, m0, m1, self._cl(build_levels(m0, cfg.perdir, cfg.sharded))
 
         V, m0, m1, self.levels = jax.jit(_measure)(jnp.asarray(t, cfg.dtype))
         self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1)
