@@ -1,0 +1,128 @@
+"""Banded (sparse immersed-boundary) path: equivalence to the dense path.
+
+Outside the kernel band the measured fields equal their far-field constants
+*exactly* (mu1=0, V=0, mu0=1 and restricted multiples — reference
+Body.jl:31-53 writes exactly these), so every banded operator is
+bitwise-equal to its dense counterpart per call (asserted below).  Whole
+trajectories agree to fp-fusion noise only: the banded program's different
+fusion structure lets XLA contract different FMAs inside the pressure-solve
+loop, which amplifies ulps over solver iterations — so trajectory checks use
+a tight tolerance plus exact solver-iteration-count equality.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waterlily_tpu.grid import band_box_start
+from waterlily_tpu.body import band_box_shape, AutoBody
+from waterlily_tpu.models.cases import circle_2d, sphere_3d, tgv_2d
+
+
+def _max_diff(a, b):
+    return max(float(jnp.max(jnp.abs(a.flow.u - b.flow.u))),
+               float(jnp.max(jnp.abs(a.flow.p - b.flow.p))))
+
+
+def test_banded_ops_bitwise_equal():
+    """Each banded operator matches dense exactly on a real sphere level."""
+    from waterlily_tpu.ops import poisson as P
+    from waterlily_tpu.ops.multigrid import vcycle
+    a = sphere_3d(n=48, m=32, bbox="force")
+    b = sphere_3d(n=48, m=32, bbox=False)
+    la, lb = a.levels[0], b.levels[0]
+    assert la.banded and not lb.banded
+    S = la.D.shape
+    x = jax.random.normal(jax.random.PRNGKey(1), S, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(2), S, jnp.float32)
+    assert float(jnp.max(jnp.abs(P.mult(la, x) - P.mult(lb, x)))) == 0.0
+    ra, rb = P.residual(la, x, z), P.residual(lb, x, z)
+    assert float(jnp.max(jnp.abs(ra - rb))) == 0.0
+    assert float(jnp.max(jnp.abs(P._rid(la, x) - x * lb.iD))) == 0.0
+    ga = P.pressure_grad_interior(la, x)
+    gb = P.pressure_grad_interior(lb, x)
+    assert float(jnp.max(jnp.abs(ga - gb))) == 0.0
+    xa, rra = P.pcg(la, x, ra)
+    xb, rrb = P.pcg(lb, x, rb)
+    assert float(jnp.max(jnp.abs(xa - xb))) == 0.0
+    assert float(jnp.max(jnp.abs(rra - rrb))) == 0.0
+    va = vcycle(a.levels, 0, x, ra)
+    vb = vcycle(b.levels, 0, x, rb)
+    assert float(jnp.max(jnp.abs(va[0] - vb[0]))) == 0.0
+
+
+def test_band_box_start_covers_band():
+    mask = np.zeros((32, 24), bool)
+    mask[10:15, 7:12] = True
+    start = np.asarray(band_box_start(jnp.asarray(mask), (8, 8)))
+    # box cells are [start+1, start+1+shape); band must be inside
+    assert start[0] + 1 <= 10 and 15 <= start[0] + 1 + 8
+    assert start[1] + 1 <= 7 and 12 <= start[1] + 1 + 8
+    # clamped when the band hugs the upper wall
+    mask2 = np.zeros((32, 24), bool)
+    mask2[25:31, 0:5] = True
+    s2 = np.asarray(band_box_start(jnp.asarray(mask2), (8, 8)))
+    assert 0 <= s2[0] <= 32 - 8 - 2 and s2[1] == 0
+
+
+def test_band_box_shape_gating():
+    S = (34, 34)
+    big = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - 16.0) ** 2)) - 14.0)
+    assert band_box_shape(big, S) is None          # box covers most of grid
+    assert band_box_shape(None, S) is None         # no body
+    small = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - 16.0) ** 2)) - 4.0)
+    shp = band_box_shape(small, S)
+    assert shp is not None and all(s <= 32 for s in shp)
+
+
+@pytest.mark.parametrize("exit_bc", [False, True])
+def test_banded_matches_dense_circle(exit_bc):
+    a = circle_2d(n=64, m=48, exitBC=exit_bc, bbox="force")
+    b = circle_2d(n=64, m=48, exitBC=exit_bc, bbox=False)
+    assert a.cfg.bbox_shape is not None and b.cfg.bbox_shape is None
+    for s in range(6):
+        a.step(remeasure=(s % 2 == 0))
+        b.step(remeasure=(s % 2 == 0))
+    assert _max_diff(a, b) < 2e-3
+    assert all((x == y).all() for x, y in zip(a.pois_n, b.pois_n))
+
+
+def test_banded_matches_dense_sphere_3d():
+    a = sphere_3d(n=48, m=32, bbox="force")
+    b = sphere_3d(n=48, m=32, bbox=False)
+    for _ in range(3):
+        a.step(remeasure=False)
+        b.step(remeasure=False)
+    assert _max_diff(a, b) < 1e-3
+
+
+def test_banded_box_tracks_moving_body():
+    """The window corner must follow the body under remeasure."""
+    L = 24
+    amp = 6.0
+
+    def sdf(x, t):
+        return jnp.sqrt(jnp.sum(x * x)) - 3.0
+
+    def mp(x, t):
+        return x - jnp.array([L, L + amp * jnp.sin(0.8 * t)], x.dtype)
+
+    from waterlily_tpu.simulation import Simulation
+    a = Simulation((2 * L, 2 * L), (1, 0), 6.0, nu=0.1,
+                   body=AutoBody(sdf, mp), bbox="force")
+    b = Simulation((2 * L, 2 * L), (1, 0), 6.0, nu=0.1,
+                   body=AutoBody(sdf, mp), bbox=False)
+    starts = [np.asarray(a.flow.bbox).copy()]
+    for _ in range(12):
+        a.step(remeasure=True)
+        b.step(remeasure=True)
+        starts.append(np.asarray(a.flow.bbox).copy())
+    # velocity only: pressure inside the body (dead cells) is unconstrained
+    # in both paths, and near-tolerance solver-iteration flips reshuffle it
+    assert float(jnp.max(jnp.abs(a.flow.u - b.flow.u))) < 5e-3
+    assert max(s[1] for s in starts) > min(s[1] for s in starts)  # it moved
+
+
+def test_nobody_disables_banding():
+    sim = tgv_2d(L=32)
+    assert sim.cfg.bbox_shape is None

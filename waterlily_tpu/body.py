@@ -26,7 +26,7 @@ from .ops.bc import bc_vector
 
 __all__ = ["AbstractBody", "AutoBody", "Bodies", "NoBody", "measure", "sdf",
            "measure_fields", "measure_sdf", "kern", "kern0", "kern1",
-           "mu0", "mu1", "curvature"]
+           "mu0", "mu1", "curvature", "band_box_shape"]
 
 
 # --- immersion kernel moments (reference Body.jl:56-61) ---
@@ -307,6 +307,40 @@ def measure_fields(body, S, t=0.0, eps=1.0, perdir=(), exitBC=False,
     m0 = bc_vector(m0, (0.0,) * D, False, perdir)
     V = bc_vector(V, (0.0,) * D, exitBC, perdir)
     return V, m0, m1, d_center
+
+
+def band_box_shape(body, S, t=0.0, eps=1.0, dtype=jnp.float32, margin=3,
+                   max_frac=0.5):
+    """Static band-box extents for the banded (sparse) immersed-boundary path.
+
+    The BDIM fields deviate from their far-field constants (``μ₁=0, V=0,
+    μ₀=1``) only where ``d < 2+eps`` — the kernel band plus the body interior
+    (reference Body.jl:32-44 measures exactly this set).  This rasterizes the
+    sdf once at ``t`` and returns per-axis extents of that region plus
+    ``margin`` cells each side (static box *shape*; the box *position* is
+    re-derived on device every remeasure).  Returns ``None`` when there is no
+    band or the box would cover more than ``max_frac`` of the grid — banded
+    dispatch then stays off.  One host sync, at construction only.
+    """
+    import numpy as np
+    if isinstance(body, NoBody) or body is None:
+        return None
+    D = len(S)
+    t_ = jnp.asarray(t, dtype)
+    centers = loc_grid(S, None, dtype).reshape(-1, D)
+    d = jax.jit(lambda ts: jax.vmap(lambda x: sdf(body, x, ts))(centers)
+                .reshape(S))(t_)
+    mask = np.asarray(d) < (2.0 + eps)
+    if not mask.any():
+        return None
+    shape = []
+    for a in range(D):
+        proj = mask.any(axis=tuple(i for i in range(D) if i != a))
+        idx = np.nonzero(proj)[0]
+        shape.append(min(int(idx[-1] - idx[0] + 1) + 2 * margin, S[a] - 2))
+    if math.prod(s + 2 for s in shape) > max_frac * math.prod(S):
+        return None
+    return tuple(shape)
 
 
 def curvature(A):

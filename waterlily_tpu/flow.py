@@ -21,8 +21,8 @@ from .ops.bc import bc_vector, bc_scalar_periodic, exit_bc
 from .ops.convect import conv_diff, accelerate, quick
 from .ops.multigrid import ml_solve
 
-__all__ = ["FlowState", "FlowConfig", "bc_tuple", "div", "bdim", "project",
-           "cfl", "mom_step", "flow_init"]
+__all__ = ["FlowState", "FlowConfig", "bc_tuple", "div", "bdim", "bdim_banded",
+           "project", "cfl", "mom_step", "flow_init"]
 
 
 class FlowState(NamedTuple):
@@ -34,6 +34,7 @@ class FlowState(NamedTuple):
     mu1: jax.Array   # (D, D, *S) first kernel moment × normal
     dt: jax.Array    # scalar: the time step to take next
     t: jax.Array     # scalar: accumulated time (= sum of completed dts)
+    bbox: jax.Array = None  # (D,) int32 body-band window corner (banded path)
 
 
 class FlowConfig(NamedTuple):
@@ -51,6 +52,7 @@ class FlowConfig(NamedTuple):
     itmx: int = 32
     log: bool = False              # capture per-iteration solver residual traces
     sharded: bool = False          # GSPMD layout: disables all Pallas dispatch
+    bbox_shape: tuple | None = None  # static body-band box extents (banded BDIM)
 
 
 def bc_tuple(U, t, D, dtype):
@@ -76,14 +78,14 @@ def div(u: jax.Array) -> jax.Array:
     return jnp.pad(s, 1)
 
 
-def bdim(u, u0, r, V, mu0, mu1, dt):
-    """BDIM velocity blend (reference `BDIM!`, src/Flow.jl:131-135).
+def _bdim_blend(u0, r, V, mu0, mu1, dt):
+    """Interior BDIM update on a halo'd window (or the whole padded array).
 
-    ``f = u⁰ + dt·r - V`` on the whole array, then on the interior
-    ``u += μ₁·∂f/∂n + V + μ₀∘f`` where the first-moment term is the
-    central difference ``½Σⱼ μ₁[i,j](f[+δⱼ]-f[-δⱼ])`` (`μddn`, Flow.jl:18-24).
+    ``f = u⁰ + dt·r - V``, then ``μ₁·∂f/∂n + V + μ₀∘f`` on the interior,
+    where the first-moment term is the central difference
+    ``½Σⱼ μ₁[i,j](f[+δⱼ]-f[-δⱼ])`` (`μddn`, reference src/Flow.jl:18-24).
     """
-    D = u.shape[0]
+    D = u0.shape[0]
     f = u0 + dt * r - V
     iv = lambda a, off=None: interior_view(a, D, off)
     m = None
@@ -91,8 +93,49 @@ def bdim(u, u0, r, V, mu0, mu1, dt):
         # vectorized over components; slices of f (ghosts are valid reads)
         t = iv(mu1[:, j]) * (iv(f, _off(D, j, +1)) - iv(f, _off(D, j, -1)))
         m = t if m is None else m + t
-    upd = 0.5 * m + iv(V) + iv(mu0) * iv(f)
+    return 0.5 * m + iv(V) + iv(mu0) * iv(f)
+
+
+def bdim(u, u0, r, V, mu0, mu1, dt):
+    """BDIM velocity blend (reference `BDIM!`, src/Flow.jl:131-135)."""
+    D = u.shape[0]
+    upd = _bdim_blend(u0, r, V, mu0, mu1, dt)
     return u + jnp.pad(upd, [(0, 0)] + [(1, 1)] * D)
+
+
+def bdim_banded(cfg, bbox, u, u0, r, V, mu0, mu1, dt, scale=None):
+    """Band-windowed BDIM: the TPU-native sparse immersed-boundary update.
+
+    The body terms are spatially local: outside the kernel band
+    ``μ₁ ≡ 0``, ``V ≡ 0`` and ``μ₀ ≡ 1`` *exactly* (measure_fields writes
+    far cells with those constants), so the reference's whole-grid blend
+    (src/Flow.jl:131-135) reduces to ``u += u⁰ + dt·r`` except inside a
+    small box around the body.  The full blend runs only on a static-shape
+    window (``cfg.bbox_shape + 2`` halo'd, dynamically positioned at
+    ``bbox``), cutting BDIM's HBM traffic ~8x at 256³.  Bitwise-equal to
+    the dense path (up to the sign of zero).
+
+    ``u=None`` selects the predictor form: interior from the blend alone,
+    ghosts from ``u0`` (fuses the reference's ``scale_u!(a,0)``).
+    """
+    D, S = cfg.D, cfg.S
+    W = tuple(w + 2 for w in cfg.bbox_shape)
+    start = tuple(bbox[d] for d in range(D))
+    sl = lambda a, lead: jax.lax.dynamic_slice(
+        a, (jnp.int32(0),) * lead + start, a.shape[:lead] + W)
+    blend = _bdim_blend(sl(u0, 1), sl(r, 1), sl(V, 1), sl(mu0, 1),
+                        sl(mu1, 2), dt)
+    f_far = u0 + dt * r                        # V ≡ 0 away from the body
+    istart = (jnp.int32(0),) + tuple(s + 1 for s in start)
+    if u is None:   # predictor: interior from the blend alone, ghosts u0
+        out = jnp.where(interior_mask(S), f_far, u0)
+        return jax.lax.dynamic_update_slice(out, blend, istart)
+    upd_far = u + f_far
+    w_val = interior_view(sl(u, 1), D) + blend
+    if scale is not None:  # fuses the reference's post-BDIM scale_u!(a, 0.5)
+        upd_far, w_val = scale * upd_far, scale * w_val
+    out = jnp.where(interior_mask(S), upd_far, u)
+    return jax.lax.dynamic_update_slice(out, w_val, istart)
 
 
 def project(levels, u, p, dt_eff, cfg):
@@ -109,11 +152,8 @@ def project(levels, u, p, dt_eff, cfg):
     out = ml_solve(levels, x, z, tol=cfg.tol, itmx=cfg.itmx, trace=cfg.log)
     x, r, n = out[:3]
     tr = out[3] if cfg.log else None
-    L = levels[0].L
-    upd = jnp.stack([
-        interior_view(L[i], D)
-        * (interior_view(x, D) - interior_view(x, D, _off(D, i, -1)))
-        for i in range(D)], axis=0)
+    from .ops.poisson import pressure_grad_interior
+    upd = pressure_grad_interior(levels[0], x)
     u = u - jnp.pad(upd, [(0, 0)] + [(1, 1)] * D)
     p = x / dt_eff
     return u, p, (n, tr)
@@ -142,12 +182,17 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     U = bc_tuple(cfg.U, t + dt, D, dtype)
 
     imask = interior_mask(cfg.S)
+    banded = cfg.bbox_shape is not None
 
     # predictor u -> u'
-    u = jnp.where(imask, 0.0, u0)                    # scale_u!(a, 0)
     r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded)
     r = accelerate(r, t, cfg.g, cfg.U, dtype)
-    u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
+    if banded:
+        u = bdim_banded(cfg, state.bbox, None, u0, r,
+                        state.V, state.mu0, state.mu1, dt)
+    else:
+        u = jnp.where(imask, 0.0, u0)                # scale_u!(a, 0)
+        u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
     if cfg.exitBC:
         u = exit_bc(u, u0, U, dt)
@@ -157,8 +202,12 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     # corrector u -> u¹
     r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded)
     r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
-    u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
-    u = jnp.where(imask, 0.5 * u, u)                 # scale_u!(a, 0.5)
+    if banded:
+        u = bdim_banded(cfg, state.bbox, u, u0, r,
+                        state.V, state.mu0, state.mu1, dt, scale=0.5)
+    else:
+        u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
+        u = jnp.where(imask, 0.5 * u, u)             # scale_u!(a, 0.5)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
     u, p, (n2, tr2) = project(levels, u, p, 0.5 * dt, cfg)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
@@ -188,4 +237,5 @@ def flow_init(cfg: FlowConfig, ulam=None, dt0=0.25):
     mu0 = bc_vector(jnp.ones((D,) + S, dtype), (0.0,) * D, False, cfg.perdir)
     mu1 = jnp.zeros((D, D) + S, dtype)
     return FlowState(u=u, p=p, V=V, mu0=mu0, mu1=mu1,
-                     dt=jnp.asarray(dt0, dtype), t=jnp.zeros((), dtype))
+                     dt=jnp.asarray(dt0, dtype), t=jnp.zeros((), dtype),
+                     bbox=jnp.zeros((D,), jnp.int32))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 __all__ = [
     "shift", "plane", "interior", "interior_view", "set_interior",
     "axis_coord", "interior_mask", "mask_interior", "loc_grid", "l2", "linf",
-    "apply_field", "interp", "inside_count",
+    "apply_field", "interp", "inside_count", "band_box_start",
 ]
 
 
@@ -104,6 +104,29 @@ def mask_interior(a: jax.Array, D: int | None = None) -> jax.Array:
 def inside_count(S: tuple) -> int:
     """Number of interior cells of a ghost-padded scalar shape."""
     return math.prod(s - 2 for s in S)
+
+
+def band_box_start(mask: jax.Array, box_shape: tuple) -> jax.Array:
+    """Lower corner of a static-shape window covering the True cells of ``mask``.
+
+    The window convention is: ``start`` addresses a ``box_shape + 2`` halo'd
+    window whose *box* cells are ``[start+1, start+1+box_shape)`` per axis, so
+    stencil reads of box cells stay inside the window.  The band is placed
+    with one in-box margin cell below it (``start+2``) because the Poisson
+    row of the cell *under* the band reads the band's face coefficient.
+    ``start`` is clamped to keep the halo'd window in-bounds; the caller
+    guarantees ``box_shape`` exceeds the band extent (chosen with margin at
+    build time).  Empty masks give ``start = 0``.  Fully traceable
+    (argmax + clip), so the box follows a moving body inside ``jit`` at zero
+    host syncs.
+    """
+    D = mask.ndim
+    starts = []
+    for d in range(D):
+        proj = jnp.any(mask, axis=tuple(i for i in range(D) if i != d))
+        lo = jnp.argmax(proj)          # index of the first banded cell (0 if none)
+        starts.append(jnp.clip(lo - 2, 0, mask.shape[d] - box_shape[d] - 2))
+    return jnp.stack(starts).astype(jnp.int32)
 
 
 def loc_grid(S: tuple, i: int | None, dtype=jnp.float32) -> jax.Array:

@@ -15,7 +15,7 @@ from ..flow import FlowState
 
 __all__ = ["save_checkpoint", "load_checkpoint", "restart_sim"]
 
-_FIELDS = ("u", "p", "V", "mu0", "mu1", "dt", "t")
+_FIELDS = ("u", "p", "V", "mu0", "mu1", "dt", "t", "bbox")
 
 
 def save_checkpoint(fname: str, sim) -> None:
@@ -42,13 +42,16 @@ def restart_sim(sim, fname: str):
     if tuple(data["p"].shape) != sim.cfg.S:
         raise ValueError(f"checkpoint grid {data['p'].shape} != sim grid {sim.cfg.S}")
     dtype = sim.cfg.dtype
+    D = len(sim.cfg.S)
+    bbox = data.get("bbox", np.zeros((D,), np.int32))  # pre-banded checkpoints
     sim.flow = FlowState(
         u=jnp.asarray(data["u"], dtype), p=jnp.asarray(data["p"], dtype),
         V=jnp.asarray(data["V"], dtype), mu0=jnp.asarray(data["mu0"], dtype),
         mu1=jnp.asarray(data["mu1"], dtype), dt=jnp.asarray(data["dt"], dtype),
-        t=jnp.asarray(data["t"], dtype))
+        t=jnp.asarray(data["t"], dtype), bbox=jnp.asarray(bbox, jnp.int32))
     from ..ops.multigrid import build_levels
-    sim.levels = build_levels(sim.flow.mu0, sim.cfg.perdir)
+    sim.levels = build_levels(sim.flow.mu0, sim.cfg.perdir, sim.cfg.sharded,
+                              sim.cfg.bbox_shape, sim.flow.bbox)
     sim.dts = [float(x) for x in data["dts"]]
     sim.pois_n = [row for row in data["pois_n"]]
     return sim

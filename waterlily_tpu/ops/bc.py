@@ -46,23 +46,24 @@ def bc_vector(u: jax.Array, A, save_exit: bool = False, perdir: tuple = ()) -> j
     """
     D = u.shape[0]
     S = u.shape[1:]
-    comps = []
+    # in-place plane updates on the stacked array (no unstack/restack copy);
+    # component-major, direction-minor order matches the reference exactly
+    cpl = lambda i, j, lo: (slice(i, i + 1),) + _pl(D, j, lo)
     for i in range(D):
-        a = u[i]
         for j in range(D):
             if j in perdir:
-                a = _per_fill(a, j)
+                u = u.at[cpl(i, j, 0)].set(u[cpl(i, j, S[j] - 2)])
+                u = u.at[cpl(i, j, S[j] - 1)].set(u[cpl(i, j, 1)])
             elif i == j:
                 Ai = jnp.asarray(A[i], u.dtype)
-                a = a.at[_pl(D, j, 0)].set(Ai)
-                a = a.at[_pl(D, j, 1)].set(Ai)
+                u = u.at[cpl(i, j, 0)].set(Ai)
+                u = u.at[cpl(i, j, 1)].set(Ai)
                 if not (save_exit and i == 0):
-                    a = a.at[_pl(D, j, S[j] - 1)].set(Ai)
+                    u = u.at[cpl(i, j, S[j] - 1)].set(Ai)
             else:
-                a = a.at[_pl(D, j, 0)].set(a[_pl(D, j, 1)])
-                a = a.at[_pl(D, j, S[j] - 1)].set(a[_pl(D, j, S[j] - 2)])
-        comps.append(a)
-    return jnp.stack(comps, axis=0)
+                u = u.at[cpl(i, j, 0)].set(u[cpl(i, j, 1)])
+                u = u.at[cpl(i, j, S[j] - 1)].set(u[cpl(i, j, S[j] - 2)])
+    return u
 
 
 def bc_scalar_periodic(a: jax.Array, perdir: tuple, D: int | None = None) -> jax.Array:

@@ -101,33 +101,69 @@ def prolongate(x_coarse: jax.Array, S_fine: tuple) -> jax.Array:
     return jnp.pad(v, 1)
 
 
-def build_levels(mu0: jax.Array, perdir: tuple = (),
-                 sharded: bool = False) -> tuple:
+def _band_ok(S, box_shape):
+    """Banded dispatch pays only while the box is a small fraction of the
+    level and its halo'd window fits."""
+    import math
+    return (all(b + 2 <= s for b, s in zip(box_shape, S))
+            and 4 * math.prod(box_shape) <= math.prod(S))
+
+
+def _coarsen_box(box_start, box_shape, S_coarse):
+    """Map a band box down one level (fine cell f -> coarse (f+1)//2).
+
+    The fine band lies in ``[start+2, ...]`` (one in-box margin cell below
+    it); the coarse corner keeps that contract.  Shapes stay static.
+    """
+    shape_c = tuple(b // 2 + 4 for b in box_shape)
+    lim = jnp.asarray([s - b - 2 for s, b in zip(S_coarse, shape_c)], jnp.int32)
+    start_c = jnp.clip((box_start + 3) // 2 - 2, 0, lim)
+    return start_c, shape_c
+
+
+def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
+                 box_shape=None, box_start=None) -> tuple:
     """Build the static level stack from the fine face coefficients.
 
     The fine ``L`` *is* the BDIM zeroth moment ``μ₀`` (src/WaterLily.jl:77);
     each coarse ``L`` is its restriction (reference ``restrictML``, :18-25).
     ``sharded`` marks GSPMD layouts and disables Pallas dispatch per level.
+    ``box_shape``/``box_start`` (the body band window) enable the banded
+    sparse-coefficient operator on levels where it pays; the box coarsens
+    with the grid.
     """
     S = mu0.shape[1:]
     nlev = n_levels(S)
-    levels = [make_level(mu0, perdir, sharded)]
-    L = mu0
-    for _ in range(nlev - 1):
+    have_box = box_shape is not None and box_start is not None and not sharded
+    if have_box:
+        box_start = jnp.asarray(box_start, jnp.int32)
+    levels = []
+    L, c = mu0, 1.0
+    for li in range(nlev):
+        Sl = L.shape[1:]
+        banded = have_box and _band_ok(Sl, box_shape)
+        levels.append(make_level(L, perdir, sharded, banded=banded, c=c,
+                                 box_shape=box_shape if banded else None,
+                                 box_start=box_start if banded else None))
+        if li == nlev - 1:
+            break
         L = restrict_L(L, perdir)
-        levels.append(make_level(L, perdir, sharded))
+        # restrict_L sums the 2^(D-1) transverse children and halves: the
+        # far-field constant scales by 2^(D-2) per level (doubles in 3D,
+        # stays 1 in 2D)
+        c *= 2.0 ** (len(S) - 2)
+        if have_box:
+            box_start, box_shape = _coarsen_box(box_start, box_shape,
+                                                L.shape[1:])
     return tuple(levels)
 
 
-def update_levels(levels: tuple, mu0: jax.Array) -> tuple:
+def update_levels(levels: tuple, mu0: jax.Array, box_start=None) -> tuple:
     """Re-restrict coefficients after body motion (reference ``update!``, :62-68)."""
-    perdir, sharded = levels[0].perdir, levels[0].sharded
-    out = [make_level(mu0, perdir, sharded)]
-    L = mu0
-    for _ in range(len(levels) - 1):
-        L = restrict_L(L, perdir)
-        out.append(make_level(L, perdir, sharded))
-    return tuple(out)
+    fine = levels[0]
+    return build_levels(mu0, fine.perdir, fine.sharded,
+                        fine.box_shape, box_start if box_start is not None
+                        else fine.box_start)
 
 
 def vcycle(levels: tuple, l: int, x, r):

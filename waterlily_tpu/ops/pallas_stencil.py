@@ -33,7 +33,8 @@ try:
 except Exception:  # pragma: no cover
     HAS_PALLAS = False
 
-__all__ = ["mult3d_pallas", "increment3d_pallas", "use_blocked", "BLOCK"]
+__all__ = ["mult3d_pallas", "increment3d_pallas", "use_blocked", "BLOCK",
+           "ana_mult3d_pallas", "use_ana"]
 
 BLOCK = 2  # slab rows; ~2x the block working set must fit 16MB VMEM at 256^3
 
@@ -158,6 +159,89 @@ def use_blocked(S, dtype, sharded: bool = False) -> bool:
             and dtype == jnp.float32
             and jax.default_backend() == "tpu"
             and math.prod(S) >= 2_000_000 and S[0] >= 2 * BLOCK)
+
+
+# --- analytic (far-field) Poisson stencil ----------------------------------
+#
+# On banded levels the operator away from the body is the constant-coefficient
+# Laplacian with index-determined wall-face zeros (ops/poisson.py banded path),
+# so this kernel reads NO coefficient fields at all: traffic is x (+2 halo
+# rows per slab) and the output — ~2.5 field passes vs 7 for the
+# variable-coefficient kernel.  The caller overwrites the body window with
+# the true coefficient compute in XLA (tiny).
+
+ANA_BLOCK = 4
+
+
+def _ana_kernel(S, B, c, perdir, with_dot, dtype,
+                xc_ref, xu_ref, xd_ref, *out_refs):
+    s0 = pl.program_id(0) * B
+    sh = (B, S[1], S[2])
+    g0 = s0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    g1 = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    g2 = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    gmask = ((g0 >= 1) & (g0 <= S[0] - 2) & (g1 >= 1) & (g1 <= S[1] - 2)
+             & (g2 >= 1) & (g2 <= S[2] - 2))
+    one = jnp.ones(sh, dtype)
+
+    def faces(d, g):
+        if d in perdir:
+            return one, one
+        lo = (g != 1).astype(dtype)
+        hi = (g != S[d] - 2).astype(dtype)
+        return lo, hi
+
+    lo0, hi0 = faces(0, g0)
+    lo1, hi1 = faces(1, g1)
+    lo2, hi2 = faces(2, g2)
+    xc = xc_ref[...]
+    xm = jnp.concatenate([xu_ref[...], xc[:B - 1]], axis=0) if B > 1 else xu_ref[...]
+    xp = jnp.concatenate([xc[1:], xd_ref[...]], axis=0) if B > 1 else xd_ref[...]
+    t = (lo0 * xm + hi0 * xp
+         + lo1 * _sub_roll(xc, -1) + hi1 * _sub_roll(xc, +1)
+         + lo2 * _lane_roll(xc, -1) + hi2 * _lane_roll(xc, +1))
+    nf = lo0 + hi0 + lo1 + hi1 + lo2 + hi2
+    z = jnp.where(gmask, c * t - (c * nf) * xc, 0.0).astype(dtype)
+    out_refs[0][...] = z
+    if with_dot:
+        out_refs[1][...] = jnp.sum(z * xc).reshape(1, 1, 1)
+
+
+def ana_mult3d_pallas(x, c, perdir=(), with_dot=False, interpret=False,
+                      block=ANA_BLOCK):
+    """z = A·x for the analytic far-field operator (+ optional per-slab
+    partial dots Σ z·x for a fused ⟨Ax, x⟩)."""
+    S = x.shape
+    dtype = x.dtype
+    B = block
+    G = pl.cdiv(S[0], B)
+    up = lambda i: (jnp.maximum(i * B - 1, 0), 0, 0)
+    dn = lambda i: (jnp.minimum(i * B + B, S[0] - 1), 0, 0)
+    row = lambda f: pl.BlockSpec((1, S[1], S[2]), f)
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
+    out_shape = [jax.ShapeDtypeStruct(S, dtype)]
+    out_specs = [slab]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct((G, 1, 1), dtype))
+        out_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)))
+    out = pl.pallas_call(
+        partial(_ana_kernel, S, B, float(c), tuple(perdir), with_dot, dtype),
+        grid=(G,),
+        in_specs=[slab, row(up), row(dn)],
+        out_specs=out_specs if with_dot else out_specs[0],
+        out_shape=out_shape if with_dot else out_shape[0],
+        interpret=interpret,
+    )(x, x, x)
+    if with_dot:
+        return out[0], jnp.sum(out[1])
+    return out
+
+
+def use_ana(S, dtype) -> bool:
+    """Gate for the analytic Pallas stencil (banded levels are never sharded)."""
+    return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and math.prod(S) >= 2_000_000 and S[0] >= 2 * ANA_BLOCK)
 
 
 # --- blocked conv_diff (non-periodic 3D) -----------------------------------

@@ -42,13 +42,25 @@ class PoissonLevel:
     ``blocked`` (static) selects the big-3D blocked Pallas stencil path;
     ``sharded`` (static) marks spatially-decomposed layouts, disabling ALL
     Pallas dispatch (GSPMD cannot partition Mosaic custom calls); ``perdir``
-    is static pytree metadata (it selects program structure)."""
+    is static pytree metadata (it selects program structure).
+
+    ``banded`` (static) selects the sparse immersed-boundary path: away from
+    the body band the face coefficients are *exactly* the constant ``c``
+    (2^level — μ₀ is exactly 1 outside the kernel band and restriction
+    doubles it per level) with index-determined wall-face zeros, so the
+    operator needs no coefficient reads at all except inside a small window
+    (``box_shape`` static extents, ``box_start`` dynamic corner) that tracks
+    the body.  Bitwise-identical to the dense path by construction."""
     L: jax.Array      # (D, *S) lower-diagonal face coefficients
     D: jax.Array      # (*S) diagonal, zero in ghosts
     iD: jax.Array     # (*S) guarded inverse diagonal (0 inside bodies)
     blocked: bool = struct.field(pytree_node=False, default=False)
     perdir: tuple = struct.field(pytree_node=False, default=())
     sharded: bool = struct.field(pytree_node=False, default=False)
+    banded: bool = struct.field(pytree_node=False, default=False)
+    c: float = struct.field(pytree_node=False, default=1.0)
+    box_shape: tuple | None = struct.field(pytree_node=False, default=None)
+    box_start: jax.Array | None = None  # (D,) int32, dynamic
 
 
 def _diag(L: jax.Array) -> jax.Array:
@@ -65,33 +77,151 @@ def _diag(L: jax.Array) -> jax.Array:
     return jnp.pad(-s, 1)
 
 
-def make_level(L: jax.Array, perdir: tuple = (),
-               sharded: bool = False) -> PoissonLevel:
+def make_level(L: jax.Array, perdir: tuple = (), sharded: bool = False,
+               banded: bool = False, c: float = 1.0, box_shape=None,
+               box_start=None) -> PoissonLevel:
     """Build a level from face coefficients (reference ``set_diag!``)."""
     from .pallas_stencil import use_blocked
     Dd = _diag(L)
     eps = jnp.finfo(L.dtype).eps
     guard = Dd * Dd < 2 * eps
     iD = jnp.where(guard, 0.0, 1.0 / jnp.where(guard, 1.0, Dd)).astype(L.dtype)
-    return PoissonLevel(L=L, D=Dd, iD=iD,
-                        blocked=use_blocked(L.shape[1:], L.dtype, sharded),
-                        perdir=perdir, sharded=sharded)
+    if banded and box_shape is not None:
+        box_start = jnp.asarray(box_start, jnp.int32)
+    else:
+        banded, box_shape, box_start = False, None, None
+    blocked = (not banded) and use_blocked(L.shape[1:], L.dtype, sharded)
+    return PoissonLevel(L=L, D=Dd, iD=iD, blocked=blocked,
+                        perdir=perdir, sharded=sharded, banded=banded,
+                        c=float(c), box_shape=box_shape, box_start=box_start)
+
+
+def _mult_interior_arrays(L, Dd, x) -> jax.Array:
+    """Interior of A·x from coefficient arrays (window or full grid)."""
+    D = L.shape[0]
+    s = interior_view(x, D) * interior_view(Dd, D)
+    for i in range(D):
+        lo, hi = _off(D, i, -1), _off(D, i, +1)
+        s = (s + interior_view(x, D, lo) * interior_view(L[i], D)
+             + interior_view(x, D, hi) * interior_view(L[i], D, hi))
+    return s
 
 
 def _mult_interior(lev: PoissonLevel, x: jax.Array) -> jax.Array:
     """Interior of A·x, all-slice form (caller handles periodic ghosts)."""
-    D = lev.L.shape[0]
-    s = interior_view(x, D) * interior_view(lev.D, D)
+    return _mult_interior_arrays(lev.L, lev.D, x)
+
+
+# --- banded (sparse immersed-boundary) operator -----------------------------
+#
+# Outside the body band μ₀ is exactly 1 and restriction exactly doubles it,
+# so a level's far-field face coefficient is the constant ``c`` with zeros on
+# non-periodic wall faces at index-determined positions, and the diagonal is
+# the negated face count.  The expressions below reproduce the dense
+# expression tree with those constants (bitwise-identical results) and then
+# overwrite the body window with the true coefficient compute.
+
+
+def _wall_coeffs(S, i, perdir, dtype, c):
+    """(lower, upper) face-coefficient fields on the interior along axis i."""
+    Si = tuple(s - 2 for s in S)
+    cc = jnp.asarray(c, dtype)
+    if i in perdir:
+        return cc, cc
+    k = jax.lax.broadcasted_iota(jnp.int32, Si, i)
+    lo = jnp.where(k != 0, cc, 0).astype(dtype)
+    hi = jnp.where(k != Si[i] - 1, cc, 0).astype(dtype)
+    return lo, hi
+
+
+def _ana_D_interior(S, perdir, dtype, c):
+    """Interior of the far-field diagonal −Σ(face coeffs), dense add order."""
+    s = None
+    for i in range(len(S)):
+        lo, hi = _wall_coeffs(S, i, perdir, dtype, c)
+        t = lo + hi
+        s = t if s is None else s + t
+    return -s
+
+
+def _win(lev: PoissonLevel, a: jax.Array, lead: int = 0):
+    """Dynamic body-window slice (box + 1-cell halo per side)."""
+    D = len(lev.box_shape)
+    W = tuple(w + 2 for w in lev.box_shape)
+    start = (jnp.int32(0),) * lead + tuple(lev.box_start[d] for d in range(D))
+    return jax.lax.dynamic_slice(a, start, a.shape[:lead] + W)
+
+
+def _box_update(lev: PoissonLevel, interior_field, box_values):
+    """Overwrite the box cells of an interior-shaped field."""
+    start = tuple(lev.box_start[d] for d in range(len(lev.box_shape)))
+    return jax.lax.dynamic_update_slice(interior_field, box_values, start)
+
+
+def _box_ax(lev: PoissonLevel, x: jax.Array) -> jax.Array:
+    """True-coefficient A·x on the body window's box cells."""
+    return _mult_interior_arrays(_win(lev, lev.L, 1), _win(lev, lev.D),
+                                 _win(lev, x))
+
+
+def _banded_mult_interior(lev: PoissonLevel, x: jax.Array) -> jax.Array:
+    S = x.shape
+    D = len(S)
+    dt_ = x.dtype
+    s = interior_view(x, D) * _ana_D_interior(S, lev.perdir, dt_, lev.c)
     for i in range(D):
-        lo, hi = _off(D, i, -1), _off(D, i, +1)
-        s = (s + interior_view(x, D, lo) * interior_view(lev.L[i], D)
-             + interior_view(x, D, hi) * interior_view(lev.L[i], D, hi))
-    return s
+        clo, chi = _wall_coeffs(S, i, lev.perdir, dt_, lev.c)
+        s = (s + interior_view(x, D, _off(D, i, -1)) * clo
+             + interior_view(x, D, _off(D, i, +1)) * chi)
+    return _box_update(lev, s, _box_ax(lev, x))
+
+
+def _banded_ax(lev: PoissonLevel, x: jax.Array, with_dot: bool = False):
+    """Full-grid ghost-zero A·x for a banded level, via the analytic Pallas
+    stencil on big-3D TPU grids (no coefficient reads) with an XLA window
+    fix-up, or the XLA far-field expression elsewhere.  ``with_dot`` also
+    returns ⟨A·x, x⟩ (the PCG denominator) with in-kernel partial sums."""
+    from .pallas_stencil import use_ana, ana_mult3d_pallas
+    S = x.shape
+    D = len(S)
+    if use_ana(S, x.dtype):
+        start_g = tuple(lev.box_start[d] + 1 for d in range(D))
+        zw = _box_ax(lev, x)
+        if with_dot:
+            z, dot = ana_mult3d_pallas(x, lev.c, lev.perdir, with_dot=True)
+            # fix the partial dot for the window overwrite
+            xw_int = interior_view(_win(lev, x), D)
+            z_old_w = jax.lax.dynamic_slice(z, start_g, lev.box_shape)
+            dot = dot + jnp.vdot(zw - z_old_w, xw_int)
+            z = jax.lax.dynamic_update_slice(z, zw, start_g)
+            return z, dot
+        z = ana_mult3d_pallas(x, lev.c, lev.perdir)
+        return jax.lax.dynamic_update_slice(z, zw, start_g)
+    z = jnp.pad(_banded_mult_interior(lev, x), 1)
+    if with_dot:
+        return z, jnp.vdot(z, x)
+    return z
+
+
+def _rid(lev: PoissonLevel, r: jax.Array) -> jax.Array:
+    """r * iD (the Jacobi-preconditioned residual), banded-aware.
+
+    Far field: iD = 1/D with the analytic diagonal (no body guard needed —
+    the guard only trips inside the body, which lies in the box)."""
+    if not lev.banded:
+        return r * lev.iD
+    D = len(r.shape)
+    iD_far = 1.0 / _ana_D_interior(r.shape, lev.perdir, r.dtype, lev.c)
+    s = interior_view(r, D) * iD_far.astype(r.dtype)
+    ew = interior_view(_win(lev, r), D) * interior_view(_win(lev, lev.iD), D)
+    return jnp.pad(_box_update(lev, s, ew), 1)
 
 
 def mult(lev: PoissonLevel, x: jax.Array) -> jax.Array:
     """z = A x with zero ghosts (reference ``mult!``, src/Poisson.jl:62-75)."""
     x = bc_scalar_periodic(x, lev.perdir)
+    if lev.banded:
+        return _banded_ax(lev, x)
     if lev.blocked:
         from .pallas_stencil import mult3d_pallas
         return mult3d_pallas(lev.L, lev.D, x, x.shape)
@@ -103,13 +233,21 @@ def residual(lev: PoissonLevel, x: jax.Array, z: jax.Array) -> jax.Array:
     (reference ``residual!``, src/Poisson.jl:91-97)."""
     D = len(x.shape)
     xb = bc_scalar_periodic(x, lev.perdir)
-    if lev.blocked:
-        from .pallas_stencil import mult3d_pallas
-        ax = interior_view(mult3d_pallas(lev.L, lev.D, xb, x.shape), D)
+    if lev.banded:
+        ax = interior_view(_banded_ax(lev, xb), D)
+        # the iD==0 dead-cell mask only trips inside the body (in the box)
+        r_int = interior_view(z, D) - ax
+        rw = jnp.where(interior_view(_win(lev, lev.iD), D) == 0, 0.0,
+                       interior_view(_win(lev, z), D) - _box_ax(lev, xb))
+        r_int = _box_update(lev, r_int, rw)
     else:
-        ax = _mult_interior(lev, xb)
-    r_int = jnp.where(interior_view(lev.iD, D) == 0, 0.0,
-                      interior_view(z, D) - ax)
+        if lev.blocked:
+            from .pallas_stencil import mult3d_pallas
+            ax = interior_view(mult3d_pallas(lev.L, lev.D, xb, x.shape), D)
+        else:
+            ax = _mult_interior(lev, xb)
+        r_int = jnp.where(interior_view(lev.iD, D) == 0, 0.0,
+                          interior_view(z, D) - ax)
     s = jnp.sum(r_int) / inside_count(x.shape)
     eps = jnp.finfo(x.dtype).eps
     corr = jnp.where(jnp.abs(s) <= 2 * eps, 0.0, s).astype(x.dtype)
@@ -131,12 +269,33 @@ def increment(lev: PoissonLevel, x, r, eps):
     return x + eps, r - ae
 
 
+def pressure_grad_interior(lev: PoissonLevel, x: jax.Array) -> jax.Array:
+    """Interior of the μ₀-weighted pressure gradient ``L∘∇x`` (stacked over
+    components) used by the projection step (reference src/Flow.jl:141-143).
+    Banded-aware: far-field L is the analytic wall-masked constant."""
+    D = lev.L.shape[0]
+    iv = lambda a, off=None: interior_view(a, D, off)
+    if not lev.banded:
+        return jnp.stack([iv(lev.L[i]) * (iv(x) - iv(x, _off(D, i, -1)))
+                          for i in range(D)], axis=0)
+    dt_ = x.dtype
+    comps = []
+    xw = _win(lev, x)
+    Lw = _win(lev, lev.L, 1)
+    for i in range(D):
+        clo, _ = _wall_coeffs(x.shape, i, lev.perdir, dt_, lev.c)
+        far = clo * (iv(x) - iv(x, _off(D, i, -1)))
+        w = iv(Lw[i]) * (iv(xw) - iv(xw, _off(D, i, -1)))
+        comps.append(_box_update(lev, far, w))
+    return jnp.stack(comps, axis=0)
+
+
 def jacobi(lev: PoissonLevel, x, r, it: int = 1):
     """Jacobi smoother (src/Poisson.jl:110-113); the MG pre-smoother.
 
     ``iD`` is ghost-zero, so ``eps = r*iD`` needs no explicit masking."""
     for _ in range(it):
-        x, r = increment(lev, x, r, r * lev.iD)
+        x, r = increment(lev, x, r, _rid(lev, r))
     return x, r
 
 
@@ -150,15 +309,18 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
     dt = x.dtype
     teneps = 10 * jnp.finfo(dt).eps
 
-    z = r * lev.iD
+    z = _rid(lev, r)
     eps = z
     rho = jnp.vdot(r, z)
     dead = jnp.abs(rho) < teneps
 
     for i in range(it):
         eps = bc_scalar_periodic(eps, lev.perdir)
-        z = mult(lev, eps)
-        denom = jnp.vdot(z, eps)
+        if lev.banded:
+            z, denom = _banded_ax(lev, eps, with_dot=True)
+        else:
+            z = mult(lev, eps)
+            denom = jnp.vdot(z, eps)
         alpha = jnp.where(dead | (denom == 0), 0.0,
                           rho / jnp.where(denom == 0, 1.0, denom)).astype(dt)
         dead = dead | (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)
@@ -167,13 +329,15 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
         r = r - upd * z
         if i == it - 1:
             break
-        z2 = r * lev.iD
+        z2 = _rid(lev, r)
         rho2 = jnp.vdot(r, z2)
         dead = dead | (jnp.abs(rho2) < teneps)
         beta = jnp.where(dead, 0.0, rho2 / jnp.where(rho == 0, 1.0, rho)).astype(dt)
-        eps_new = mask_interior(beta * eps + z2)
-        eps = jnp.where(dead, eps, eps_new)
-        z = jnp.where(dead, z, z2)
+        # no full-array freeze of eps/z is needed once dead: the scalar
+        # ``upd`` guard already freezes x and r (the only outputs), beta=0
+        # keeps eps finite, and z is overwritten by mult next iteration —
+        # dropping the selects saves a whole HBM pass per iteration.
+        eps = mask_interior(beta * eps + z2)
         rho = jnp.where(dead, rho, rho2)
     return x, r
 

@@ -60,7 +60,8 @@ def state_specs(mesh: Mesh, D: int) -> FlowState:
     vec = NamedSharding(mesh, _spatial_spec(mesh, D, 1))
     ten = NamedSharding(mesh, _spatial_spec(mesh, D, 2))
     rep = NamedSharding(mesh, P())
-    return FlowState(u=vec, p=sc, V=vec, mu0=vec, mu1=ten, dt=rep, t=rep)
+    return FlowState(u=vec, p=sc, V=vec, mu0=vec, mu1=ten, dt=rep, t=rep,
+                     bbox=rep)
 
 
 def constrain_state(state: FlowState, mesh: Mesh) -> FlowState:
@@ -81,7 +82,8 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
     names = list(mesh.axis_names)
     for lev in levels:
         S = lev.D.shape
-        lev = lev.replace(sharded=True, blocked=False)
+        lev = lev.replace(sharded=True, blocked=False, banded=False,
+                          box_shape=None, box_start=None)
         ok = all((S[k] - 2) >= min_per_shard * mesh.shape[names[k]]
                  for k in range(min(len(names), len(S))))
         if ok:

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .flow import FlowConfig, flow_init, mom_step
-from .body import NoBody, measure_fields
+from .body import NoBody, measure_fields, band_box_shape
+from .grid import band_box_start
 from .ops.multigrid import build_levels
 from .ops.convect import quick
 
@@ -50,7 +51,7 @@ class Simulation:
     def __init__(self, dims, u_BC, L, dt=0.25, nu=0.0, g=None, U=None,
                  epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
-                 log=False, mesh=None):
+                 log=False, mesh=None, bbox=True):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
@@ -62,11 +63,26 @@ class Simulation:
         self.body = NoBody() if body is None else body
         self.mesh = mesh
         S = tuple(n + 2 for n in dims)
+        # static band-box shape for the sparse (banded) BDIM path: the body
+        # terms are local, so the expensive blend runs on a small window that
+        # tracks the body.  Off for sharded layouts (a dynamic window would
+        # gather across shards) — pass bbox=False to disable, or an int to
+        # widen the safety margin (e.g. for sdfs whose band grows over time).
+        bbox_shape = None
+        # below ~600k cells the step is dispatch-bound and the banded path's
+        # extra window ops cost more than the traffic they save (measured on
+        # one v5e: (96,64,64) 3.6→4.4 ms banded, 1024² and 256³ win).
+        # bbox="force" bypasses the size gate (tests / unusual configs).
+        big = math.prod(dims) >= 600_000 or bbox == "force"
+        if bbox and mesh is None and body is not None and big:
+            margin = bbox if isinstance(bbox, int) and not isinstance(bbox, bool) else 3
+            bbox_shape = band_box_shape(body, S, 0.0, float(epsilon), dtype,
+                                        margin=margin)
         self.cfg = FlowConfig(D=D, S=S, nu=float(nu), U=u_BC, g=g,
                               perdir=tuple(perdir), exitBC=bool(exitBC),
                               dtype=dtype, limiter=limiter, tol=float(tol),
                               itmx=int(itmx), log=bool(log),
-                              sharded=mesh is not None)
+                              sharded=mesh is not None, bbox_shape=bbox_shape)
         if mesh is not None:
             from .parallel.mesh import constrain_state, constrain_levels
             _cs = lambda s: constrain_state(s, mesh)
@@ -80,12 +96,21 @@ class Simulation:
         # pathological on remote-compile TPU runtimes.)
         cfg0, body0, eps0 = self.cfg, self.body, self.epsilon
 
+        def _bbox_of(d_center):
+            if cfg0.bbox_shape is None:
+                return jnp.zeros((D,), jnp.int32)
+            return band_box_start(d_center < (2.0 + eps0), cfg0.bbox_shape)
+
+        self._bbox_of = _bbox_of
+
         def _init():
             state = flow_init(cfg0, ulam, dt)
-            V, m0, m1, _ = measure_fields(body0, S, 0.0, eps0, cfg0.perdir,
-                                          cfg0.exitBC, dtype)
-            state = state._replace(V=V, mu0=m0, mu1=m1)
-            return _cs(state), _cl(build_levels(m0, cfg0.perdir, cfg0.sharded))
+            V, m0, m1, dc = measure_fields(body0, S, 0.0, eps0, cfg0.perdir,
+                                           cfg0.exitBC, dtype)
+            bb = _bbox_of(dc)
+            state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
+            return _cs(state), _cl(build_levels(m0, cfg0.perdir, cfg0.sharded,
+                                                cfg0.bbox_shape, bb))
 
         self.flow, self.levels = jax.jit(_init)()
 
@@ -103,11 +128,13 @@ class Simulation:
 
         def step_remeasure(state, levels):
             state = _cs(state)
-            V, m0, m1, _ = measure_fields(body_, cfg.S, state.t + state.dt,
-                                          eps_, cfg.perdir, cfg.exitBC,
-                                          cfg.dtype)
-            state = state._replace(V=V, mu0=m0, mu1=m1)
-            levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded))
+            V, m0, m1, dc = measure_fields(body_, cfg.S, state.t + state.dt,
+                                           eps_, cfg.perdir, cfg.exitBC,
+                                           cfg.dtype)
+            bb = _bbox_of(dc)
+            state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
+            levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded,
+                                      cfg.bbox_shape, bb))
             new, aux = mom_step(cfg, levels, state)
             return _cs(new), aux
 
@@ -148,12 +175,15 @@ class Simulation:
         cfg, body, eps = self.cfg, self.body, self.epsilon
 
         def _measure(t):
-            V, m0, m1, _ = measure_fields(body, cfg.S, t, eps, cfg.perdir,
-                                          cfg.exitBC, cfg.dtype)
-            return V, m0, m1, self._cl(build_levels(m0, cfg.perdir, cfg.sharded))
+            V, m0, m1, dc = measure_fields(body, cfg.S, t, eps, cfg.perdir,
+                                           cfg.exitBC, cfg.dtype)
+            bb = self._bbox_of(dc)
+            return (V, m0, m1, bb,
+                    self._cl(build_levels(m0, cfg.perdir, cfg.sharded,
+                                          cfg.bbox_shape, bb)))
 
-        V, m0, m1, self.levels = jax.jit(_measure)(jnp.asarray(t, cfg.dtype))
-        self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1)
+        V, m0, m1, bb, self.levels = jax.jit(_measure)(jnp.asarray(t, cfg.dtype))
+        self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
 
     def _record(self, aux):
         self.dts.append(float(self.flow.dt))
