@@ -7,6 +7,13 @@ integrated to tU/L = 50.  The reference reports ~40 s on one NVIDIA GPU.
 ``value`` is MLUPS (million cell-updates per second) over the run;
 ``vs_baseline`` is reference_wall / our_wall on that exact config
 (>1 means faster than the reference's GPU).
+
+``secondary`` holds two scale metrics recorded every round:
+- the 256³ sphere (BASELINE north-star config) steady-state step, with
+  ns/DOF against the reference's published 1.44 ns/DOF GPU figure
+  (README.md:111);
+- a 256³ heaving sphere with per-step body re-measurement (the moving-body
+  hot path, maintests.jl:372-413 class), as a ratio to the static step.
 """
 import json
 import sys
@@ -16,12 +23,19 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_WALL_S = 40.0   # README.md:128-131, 1x NVIDIA GPU, CuArray+Float32
+REFERENCE_NS_PER_DOF = 1.44  # README.md:111, 2024-paper GPU cost per DOF
 
 
-def main():
-    quick = "--quick" in sys.argv
-    from waterlily_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache()
+def _steady_step_time(sim, warm=15, steps=40, remeasure=False):
+    sim.steps(warm, remeasure=remeasure)
+    jax.block_until_ready(sim.flow.u)
+    t0 = time.perf_counter()
+    sim.steps(steps, remeasure=remeasure)
+    jax.block_until_ready(sim.flow.u)
+    return (time.perf_counter() - t0) / steps
+
+
+def headline(quick):
     from waterlily_tpu.models.cases import sphere_3d
 
     n, m = 96, 64
@@ -42,7 +56,7 @@ def main():
     cells = n * m * m  # interior cells, matching utils.perf.mlups
     mlups = steps * cells / wall / 1e6
     scale = t_end / 50.0  # pro-rate the reference baseline for --quick
-    out = {
+    return {
         "metric": f"3D sphere (96,64,64) f32 to tU/L={t_end:g}: MLUPS"
                   + (" [quick]" if quick else ""),
         "value": round(mlups, 2),
@@ -53,6 +67,58 @@ def main():
         "sec_per_step": round(wall / max(steps, 1), 5),
         "device": str(jax.devices()[0]),
     }
+
+
+def sphere_256():
+    from waterlily_tpu.models.cases import sphere_3d
+    sim = sphere_3d(n=256, m=256, Re=3700, dtype=jnp.float32)
+    spp = _steady_step_time(sim)
+    cells = 254 ** 3
+    ns_dof = spp / (3 * cells) * 1e9
+    return spp, {
+        "metric": "3D sphere 256^3 f32 static: ms/step",
+        "value": round(spp * 1e3, 2),
+        "unit": "ms/step",
+        "mlups": round(cells / spp / 1e6, 1),
+        "ns_per_dof": round(ns_dof, 3),
+        "vs_baseline": round(REFERENCE_NS_PER_DOF / ns_dof, 3),
+    }
+
+
+def moving_256(static_spp):
+    from waterlily_tpu.models.cases import heaving_sphere_3d
+    # amp=32 keeps the travel-inflated band window well inside the domain
+    sim = heaving_sphere_3d(radius=64, amp=32, Re=500, dtype=jnp.float32)
+    spp = _steady_step_time(sim, warm=8, steps=20, remeasure=True)
+    return {
+        "metric": "3D heaving sphere 256^3 f32 remeasure: ms/step",
+        "value": round(spp * 1e3, 2),
+        "unit": "ms/step",
+        "mlups": round(254 ** 3 / spp / 1e6, 1),
+        "vs_baseline": round(static_spp / spp, 3)
+        if static_spp else None,  # >0.67 meets the <=1.5x-of-static target
+    }
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from waterlily_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    out = headline(quick)
+    if not quick:
+        secondary = []
+        try:
+            static_spp, s256 = sphere_256()
+            secondary.append(s256)
+        except Exception as e:  # never lose the headline to a secondary
+            static_spp = None
+            secondary.append({"metric": "3D sphere 256^3", "error": repr(e)})
+        try:
+            secondary.append(moving_256(static_spp))
+        except Exception as e:
+            secondary.append({"metric": "256^3 remeasure", "error": repr(e)})
+        out["secondary"] = secondary
     print(json.dumps(out))
 
 

@@ -16,3 +16,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache: jit programs dominate suite wall time on the
+# 1-core CI box; warm reruns skip compilation entirely
+from waterlily_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

@@ -28,7 +28,7 @@ def test_banded_ops_bitwise_equal():
     """Each banded operator matches dense exactly on a real sphere level."""
     from waterlily_tpu.ops import poisson as P
     from waterlily_tpu.ops.multigrid import vcycle
-    a = sphere_3d(n=48, m=32, bbox="force")
+    a = sphere_3d(n=48, m=32, bbox="force", banded_levels=True)
     b = sphere_3d(n=48, m=32, bbox=False)
     la, lb = a.levels[0], b.levels[0]
     assert la.banded and not lb.banded
@@ -49,6 +49,39 @@ def test_banded_ops_bitwise_equal():
     va = vcycle(a.levels, 0, x, ra)
     vb = vcycle(b.levels, 0, x, rb)
     assert float(jnp.max(jnp.abs(va[0] - vb[0]))) == 0.0
+
+
+def test_banded_measure_fields_matches_dense():
+    """Narrow-band remeasure (window-only autodiff measurement) is bitwise
+    equal to the dense full-grid path — 2D moving body and 3D sphere."""
+    from waterlily_tpu.body import measure_fields, measure_fields_banded
+
+    def sdf2(x, t):
+        return jnp.sqrt(jnp.sum(x * x)) - 4.0
+
+    def mp2(x, t):
+        return x - jnp.array([20.0 + 2 * t, 16.0], x.dtype)
+
+    body2 = AutoBody(sdf2, mp2)
+    S2 = (50, 42)
+    shp2 = band_box_shape(body2, S2)
+    assert shp2 is not None
+    for t in [0.0, 1.3]:
+        dense = measure_fields(body2, S2, t, 1.0, (), True, jnp.float32)
+        band = measure_fields_banded(body2, S2, t, 1.0, (), True,
+                                     jnp.float32, shp2)
+        for a, b in zip(dense, band):
+            assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+    body3 = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - 14.0) ** 2)) - 4.0)
+    S3 = (34, 30, 30)
+    shp3 = band_box_shape(body3, S3)
+    assert shp3 is not None
+    dense = measure_fields(body3, S3, 0.0, 1.0, (1,), False, jnp.float32)
+    band = measure_fields_banded(body3, S3, 0.0, 1.0, (1,), False,
+                                 jnp.float32, shp3)
+    for a, b in zip(dense, band):
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
 
 
 def test_band_box_start_covers_band():
@@ -77,7 +110,8 @@ def test_band_box_shape_gating():
 
 @pytest.mark.parametrize("exit_bc", [False, True])
 def test_banded_matches_dense_circle(exit_bc):
-    a = circle_2d(n=64, m=48, exitBC=exit_bc, bbox="force")
+    a = circle_2d(n=64, m=48, exitBC=exit_bc, bbox="force",
+                  banded_levels=True)
     b = circle_2d(n=64, m=48, exitBC=exit_bc, bbox=False)
     assert a.cfg.bbox_shape is not None and b.cfg.bbox_shape is None
     for s in range(6):
@@ -88,7 +122,7 @@ def test_banded_matches_dense_circle(exit_bc):
 
 
 def test_banded_matches_dense_sphere_3d():
-    a = sphere_3d(n=48, m=32, bbox="force")
+    a = sphere_3d(n=48, m=32, bbox="force", banded_levels=True)
     b = sphere_3d(n=48, m=32, bbox=False)
     for _ in range(3):
         a.step(remeasure=False)
@@ -109,7 +143,7 @@ def test_banded_box_tracks_moving_body():
 
     from waterlily_tpu.simulation import Simulation
     a = Simulation((2 * L, 2 * L), (1, 0), 6.0, nu=0.1,
-                   body=AutoBody(sdf, mp), bbox="force")
+                   body=AutoBody(sdf, mp), bbox="force", banded_levels=True)
     b = Simulation((2 * L, 2 * L), (1, 0), 6.0, nu=0.1,
                    body=AutoBody(sdf, mp), bbox=False)
     starts = [np.asarray(a.flow.bbox).copy()]

@@ -1,0 +1,84 @@
+"""Physics regressions on the canonical validation flows.
+
+The reference pins added-mass and uses the circle/TGV configs as living
+regressions (maintests.jl:304-316, 232-253; README.md:41-51).  These tests
+pin the two headline validation flows at CI-affordable resolution:
+
+- 2D circle at Re=100: established vortex shedding with mean drag and
+  Strouhal number.  At full resolution (256×128, tU/L→130) this framework
+  measures Cd=1.74, St=0.22 — consistent with 25%-blockage literature
+  (docs/PERF.md).  At the reduced (96,64) resolution used here the drag
+  coefficient is grid-sensitive (coarser sphere ⇒ lower Cd ≈ 1.52) while
+  the Strouhal number is already converged; the windows below encode that.
+- 3D Taylor-Green vortex at Re=1600: the transition benchmark.  KE must
+  decay monotonically, *faster* than the linear-viscous rate once vortex
+  stretching amplifies enstrophy, and the enstrophy itself must grow well
+  above its initial value — the 3D-specific mechanism a 2D solve cannot
+  produce (in 2D, enstrophy is non-increasing).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waterlily_tpu.models.cases import circle_2d, tgv_3d
+from waterlily_tpu.metrics import pressure_force, ke, omega
+
+
+def test_circle_shedding_cd_st():
+    """Mean Cd and Strouhal of the Re=100 circle (reduced res + a transverse
+    seed so the wake instability saturates within the test budget)."""
+    def ulam(i, x):
+        return jnp.where(
+            i == 0, 1.0,
+            0.15 * jnp.sin(x[0] / 6) * jnp.exp(-((x[1] - 31.0) / 10) ** 2))
+
+    sim = circle_2d(n=96, m=64, Re=100, dtype=jnp.float32, ulam=ulam)
+    pf = jax.jit(lambda p: pressure_force(p, sim.body, 0.0))
+    rec = sim.run_record(45.0, every=0.25,
+                         fields={"f": lambda s: pf(s.flow.p)},
+                         remeasure=False)
+    t = np.array(rec["t"])
+    f = np.array(rec["f"])
+    Dc = 16.0  # diameter = 2*radius = m/4
+    cd = -2 * f[:, 0] / Dc
+    cl = 2 * f[:, 1] / Dc
+
+    w = t >= 25.0
+    clw, tw = cl[w], t[w]
+    assert 1.40 < cd[w].mean() < 1.70, f"mean Cd {cd[w].mean():.3f}"
+    # shedding must be established: finite lift oscillation
+    assert np.sqrt((clw ** 2).mean()) > 0.25, "no saturated shedding"
+    crossings = np.where(np.diff(np.sign(clw)) != 0)[0]
+    assert len(crossings) >= 5, f"only {len(crossings)} Cl zero-crossings"
+    st = 1.0 / (2 * np.mean(np.diff(tw[crossings])))
+    assert 0.19 < st < 0.25, f"St {st:.3f}"  # 0.22 ± ~12%
+
+
+def test_tgv3d_energy_decay_and_vortex_stretching():
+    """3D TGV at Re=1600: monotone KE decay, super-viscous dissipation, and
+    enstrophy growth (vortex stretching)."""
+    L, Re = 32, 1600
+    sim = tgv_3d(L=L, Re=Re, dtype=jnp.float32)
+    ke_fn = jax.jit(lambda u: jnp.sum(ke(u)))
+    ens_fn = jax.jit(lambda u: jnp.sum(jnp.sum(omega(u) ** 2, axis=0)))
+    ke0 = float(ke_fn(sim.flow.u))
+    ens0 = float(ens_fn(sim.flow.u))
+    kes, ens, ts = [ke0], [ens0], [0.0]
+    while sim.sim_time < 1.1:
+        sim.steps(4, remeasure=False)
+        kes.append(float(ke_fn(sim.flow.u)))
+        ens.append(float(ens_fn(sim.flow.u)))
+        ts.append(sim.sim_time)
+
+    kes, ens, ts = np.array(kes), np.array(ens), np.array(ts)
+    assert np.all(np.diff(kes) < 0), "KE must decay monotonically"
+    # regression window for the transitional decay at this resolution
+    # (measured 0.674 at t*=1.09 on 32^3): well below the linear-viscous
+    # bound exp(-6 nu kappa^2 t) ≈ 0.975 — super-viscous dissipation.
+    # Pin the first sample past t*=1 (chunked stepping overshoots the end).
+    idx = int(np.argmax(ts >= 1.0))
+    r_end = kes[idx] / ke0
+    assert 0.58 < r_end < 0.80, f"KE(t*={ts[idx]:.2f})/KE0 = {r_end:.3f}"
+    # vortex stretching: enstrophy grows far above its initial value
+    # (impossible in 2D, where enstrophy is non-increasing)
+    assert ens.max() / ens0 > 1.8, f"enstrophy ratio {ens.max() / ens0:.2f}"

@@ -45,6 +45,76 @@ def test_sharded_step_matches_single(axes, perdir):
     assert int(aux["pois_n"][0]) == int(aux_ref["pois_n"][0])
 
 
+def test_sharded_scan_fn_matches_single():
+    """Multi-step `lax.scan` under GSPMD (`sharded_scan_fn`) tracks the
+    single-device trajectory step-for-step."""
+    from waterlily_tpu.parallel.mesh import sharded_scan_fn
+    cfg = FlowConfig(D=2, S=(34, 34), U=(1.0, 0.0), nu=0.05, dtype=f32)
+
+    def ulam(i, x):
+        return jnp.where(i == 0, 1.0 + 0.1 * jnp.sin(x[1] / 3), 0.0)
+
+    state = flow_init(cfg, ulam)
+    levels = build_levels(state.mu0)
+
+    ref = state
+    step = jax.jit(lambda s, l: mom_step(cfg, l, s))
+    pois_ref = []
+    for _ in range(5):
+        ref, aux = step(ref, levels)
+        pois_ref.append(np.asarray(aux["pois_n"]))
+
+    mesh = make_mesh(8, axes=("x", "y"))
+    out, pois = sharded_scan_fn(cfg, mesh)(state, levels, 5)
+    assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-4)
+    assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-3)
+    assert np.array_equal(np.stack(pois_ref), np.asarray(pois))
+
+
+def test_sharded_exitbc_matches_single():
+    """exitBC's convective outlet + global mass-flux mean is a reduction over
+    one shard-boundary plane — it must agree under spatial decomposition."""
+    cfg = FlowConfig(D=2, S=(66, 34), U=(1.0, 0.0), nu=0.02, dtype=f32,
+                     exitBC=True)
+
+    def ulam(i, x):
+        return jnp.where(i == 0, 1.0 + 0.1 * jnp.cos(x[1] / 5), 0.0)
+
+    state = flow_init(cfg, ulam)
+    levels = build_levels(state.mu0)
+    ref, _ = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
+
+    for axes in [("x",), ("x", "y")]:
+        mesh = make_mesh(8, axes=axes)
+        out, _ = sharded_step_fn(cfg, mesh)(state, levels)
+        assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
+        assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
+
+
+def test_sharded_hlo_halos_are_collective_permute():
+    """The GSPMD claim, verified on the compiled HLO: stencil halos lower to
+    `collective-permute` (plus small reductions), never to a full-field
+    `all-gather` — the silent-slowness failure mode of a bad layout."""
+    import re
+    cfg = FlowConfig(D=3, S=(34, 34, 34), U=(1.0, 0.0, 0.0), nu=0.01,
+                     dtype=f32)
+    state = flow_init(cfg)
+    levels = build_levels(state.mu0)
+    mesh = make_mesh(8, axes=("x", "y"))
+    step = sharded_step_fn(cfg, mesh)
+    hlo = step.lower(state, levels).compile().as_text()
+
+    assert "collective-permute" in hlo, "no halo exchange found in HLO"
+
+    # every all-gather must be far smaller than a fine-level field:
+    # full-field gathers would defeat the spatial decomposition
+    field_bytes = 4 * 34 ** 3
+    sizes = [int(np.prod([int(d) for d in m.group(1).split(",") if d]))
+             for m in re.finditer(r"= f32\[([0-9,]*)\][^ ]* all-gather", hlo)]
+    assert all(4 * s < field_bytes / 2 for s in sizes), (
+        f"large all-gather outputs found: {sizes}")
+
+
 def test_simulation_mesh_kwarg_matches_single_device():
     """The production GSPMD path — Simulation(mesh=...) — on a 3D sphere with
     per-step remeasure (build_levels under sharding) vs the unsharded sim."""

@@ -25,8 +25,8 @@ from .grid import loc_grid, interior, mask_interior
 from .ops.bc import bc_vector
 
 __all__ = ["AbstractBody", "AutoBody", "Bodies", "NoBody", "measure", "sdf",
-           "measure_fields", "measure_sdf", "kern", "kern0", "kern1",
-           "mu0", "mu1", "curvature", "band_box_shape"]
+           "measure_fields", "measure_fields_banded", "measure_sdf", "kern",
+           "kern0", "kern1", "mu0", "mu1", "curvature", "band_box_shape"]
 
 
 # --- immersion kernel moments (reference Body.jl:56-61) ---
@@ -304,6 +304,81 @@ def measure_fields(body, S, t=0.0, eps=1.0, perdir=(), exitBC=False,
     # V's ghosts are zero before BC fill so exitBC's saved exit plane stays 0
     m1 = jnp.zeros_like(m1).at[interior(D, lead=2)].set(m1[interior(D, lead=2)])
     V = mask_interior(V, D)
+    m0 = bc_vector(m0, (0.0,) * D, False, perdir)
+    V = bc_vector(V, (0.0,) * D, exitBC, perdir)
+    return V, m0, m1, d_center
+
+
+def _loc_window(W: tuple, start, i: int | None, dtype) -> jax.Array:
+    """Physical coordinates of the box-window cells (indices ``start+1+k``).
+
+    Same convention as `loc_grid` (cell center ``I-0.5``, face ``i`` shifted
+    ``-0.5``) but generated directly on the static window shape ``W`` from
+    the dynamic corner ``start`` — no full-grid coordinate arrays.
+    """
+    D = len(W)
+    coords = []
+    for d in range(D):
+        c = (jax.lax.broadcasted_iota(jnp.int32, W, d) + start[d] + 1
+             ).astype(dtype) - 0.5
+        if i == d:
+            c = c - 0.5
+        coords.append(c)
+    return jnp.stack(coords, axis=-1)
+
+
+def measure_fields_banded(body, S, t, eps, perdir, exitBC, dtype, box_shape):
+    """Narrow-band BDIM rasterization (reference ``measure!``, Body.jl:32-44).
+
+    The reference evaluates the expensive autodiff ``measure`` only at cells
+    whose center sdf satisfies ``d² < (2+ε)²``; this is the TPU-native
+    equivalent: one cheap full-grid sdf pass (no gradients) locates the band,
+    then the D face-grid measurements (sdf gradient + map Jacobian + jvp per
+    point) run **only on the static-shape body window** and are scattered
+    into constant far fields (``μ₀=1, V=0, μ₁=0`` — exact outside the band).
+    Bitwise-equal to `measure_fields` whenever the window covers the
+    ``d < 2+ε`` region (the `band_box_shape` contract).
+
+    Cuts moving-body remeasure cost from O(grid × (D+1) autodiff measures)
+    to O(grid sdf + window × D measures) — ~30× less measurement work for a
+    sphere in a 256³ domain.
+    """
+    D = len(S)
+    from .grid import band_box_start
+    t_ = jnp.asarray(t, dtype)
+    fastd2 = (2.0 + eps) ** 2
+    centers = loc_grid(S, None, dtype).reshape(-1, D)
+    d_center = jax.vmap(lambda x: sdf(body, x, t_))(centers).reshape(S).astype(dtype)
+    start = band_box_start(d_center < (2.0 + eps), box_shape)
+
+    # window views of the cheap center distance (box cells = start+1 …)
+    W = tuple(box_shape)
+    dw = jax.lax.dynamic_slice(d_center, tuple(start[d] + 1 for d in range(D)), W)
+    near = dw * dw < fastd2
+    inside_deep = dw < 0
+
+    V_w, m0_w, m1_w = [], [], []
+    for i in range(D):
+        pts = _loc_window(W, start, i, dtype).reshape(-1, D)
+        di, ni, Vi = jax.vmap(lambda x: measure(body, x, t_, fastd2))(pts)
+        di = di.reshape(W).astype(dtype)
+        ni = ni.reshape(W + (D,)).astype(dtype)
+        Vi = Vi.reshape(W + (D,)).astype(dtype)
+        m0_w.append(jnp.where(near, mu0(di, eps),
+                              jnp.where(inside_deep, 0.0, 1.0)))
+        V_w.append(jnp.where(near, Vi[..., i], 0.0))
+        m1_w.append(jnp.stack(
+            [jnp.where(near, mu1(di, eps) * ni[..., j], 0.0)
+             for j in range(D)], axis=0))
+
+    istart = tuple(start[d] + 1 for d in range(D))
+    upd = lambda full, w, lead: jax.lax.dynamic_update_slice(
+        full, w, (jnp.int32(0),) * lead + istart)
+    m0 = upd(jnp.ones((D,) + S, dtype), jnp.stack(m0_w, axis=0), 1)
+    V = upd(jnp.zeros((D,) + S, dtype), jnp.stack(V_w, axis=0), 1)
+    m1 = upd(jnp.zeros((D, D) + S, dtype), jnp.stack(m1_w, axis=0), 2)
+    # window cells are always interior, so μ₁ ghosts are already zero and V
+    # ghosts are zero before the BC fill (same contract as the dense path)
     m0 = bc_vector(m0, (0.0,) * D, False, perdir)
     V = bc_vector(V, (0.0,) * D, exitBC, perdir)
     return V, m0, m1, d_center

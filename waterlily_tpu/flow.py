@@ -53,6 +53,8 @@ class FlowConfig(NamedTuple):
     log: bool = False              # capture per-iteration solver residual traces
     sharded: bool = False          # GSPMD layout: disables all Pallas dispatch
     bbox_shape: tuple | None = None  # static body-band box extents (banded BDIM)
+    fixed_iters: int | None = None   # unroll exactly k pressure iterations:
+    # reverse-mode differentiable step (jax.grad through mom_step)
 
 
 def bc_tuple(U, t, D, dtype):
@@ -149,7 +151,8 @@ def project(levels, u, p, dt_eff, cfg):
     D = cfg.D
     z = div(u)
     x = p * dt_eff
-    out = ml_solve(levels, x, z, tol=cfg.tol, itmx=cfg.itmx, trace=cfg.log)
+    out = ml_solve(levels, x, z, tol=cfg.tol, itmx=cfg.itmx, trace=cfg.log,
+                   fixed=cfg.fixed_iters)
     x, r, n = out[:3]
     tr = out[3] if cfg.log else None
     from .ops.poisson import pressure_grad_interior

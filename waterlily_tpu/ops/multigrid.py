@@ -182,7 +182,7 @@ def vcycle(levels: tuple, l: int, x, r):
     return x, r
 
 
-def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False):
+def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
     """Multigrid pressure solve (reference ``solver!``, :87-99).
 
     V-cycle + fine-level PCG per outer iteration, at least one iteration,
@@ -190,12 +190,32 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False):
     plus a ``(itmx+1, 2)`` array of per-iteration ``(r∞, r·r)`` rows when
     ``trace`` (the reference's ``@log`` pressure-solver observability,
     src/util.jl:4-24).
+
+    ``fixed=k`` statically unrolls exactly ``k`` outer iterations instead of
+    the `while_loop` — same math, but reverse-mode differentiable: `jax.grad`
+    flows through the whole pressure solve (the reference is forward-mode
+    only via ForwardDiff duals, maintests.jl:254-278; this is the TPU
+    build's beyond-parity differentiator).  The reference's own oracles show
+    ≤2-3 iterations suffice, so small ``fixed`` matches the adaptive count.
     """
     fine = levels[0]
     r = residual(fine, x, z)
 
     def log_row(r):
         return jnp.stack([jnp.max(jnp.abs(r)), jnp.vdot(r, r)]).astype(x.dtype)
+
+    if fixed is not None:
+        tr = jnp.zeros((fixed + 1, 2), x.dtype)
+        if trace:
+            tr = tr.at[0].set(log_row(r))
+        for k in range(fixed):
+            x, r = vcycle(levels, 0, x, r)
+            x, r = smooth(fine, x, r)
+            if trace:
+                tr = tr.at[k + 1].set(log_row(r))
+        x = bc_scalar_periodic(x, fine.perdir)
+        n = jnp.int32(fixed)
+        return (x, r, n, tr) if trace else (x, r, n)
 
     tr = jnp.zeros((itmx + 1, 2), x.dtype)
     if trace:

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .flow import FlowConfig, flow_init, mom_step
-from .body import NoBody, measure_fields, band_box_shape
+from .body import (NoBody, measure_fields, measure_fields_banded,
+                   band_box_shape)
 from .grid import band_box_start
 from .ops.multigrid import build_levels
 from .ops.convect import quick
@@ -46,12 +47,21 @@ class Simulation:
       along the mesh's spatial axes inside every jitted program; GSPMD
       inserts halo exchanges and collective reductions over ICI.  All Pallas
       dispatch is disabled (Mosaic calls cannot be partitioned).
+    - ``fixed_iters``: statically unroll exactly k pressure iterations per
+      solve instead of the adaptive `while_loop` — makes the whole step
+      reverse-mode differentiable (``jax.grad`` through ``mom_step``), the
+      beyond-parity extension of the reference's forward-only ForwardDiff
+      scope (maintests.jl:254-278).
+    - ``banded_levels``: opt-in banded (windowed) Poisson operator on the
+      multigrid levels.  Off by default: its per-smoother-iteration window
+      fix-ups measured slower than the dense blocked kernels at 256³.
     """
 
     def __init__(self, dims, u_BC, L, dt=0.25, nu=0.0, g=None, U=None,
                  epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
-                 log=False, mesh=None, bbox=True):
+                 log=False, mesh=None, bbox=True, fixed_iters=None,
+                 banded_levels=False):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
@@ -82,7 +92,9 @@ class Simulation:
                               perdir=tuple(perdir), exitBC=bool(exitBC),
                               dtype=dtype, limiter=limiter, tol=float(tol),
                               itmx=int(itmx), log=bool(log),
-                              sharded=mesh is not None, bbox_shape=bbox_shape)
+                              sharded=mesh is not None, bbox_shape=bbox_shape,
+                              fixed_iters=None if fixed_iters is None
+                              else int(fixed_iters))
         if mesh is not None:
             from .parallel.mesh import constrain_state, constrain_levels
             _cs = lambda s: constrain_state(s, mesh)
@@ -95,6 +107,13 @@ class Simulation:
         # construction would dispatch hundreds of individually-compiled ops —
         # pathological on remote-compile TPU runtimes.)
         cfg0, body0, eps0 = self.cfg, self.body, self.epsilon
+        # The banded *Poisson* operator trades coefficient reads for per-
+        # smoother-iteration window fix-ups (full-array dynamic updates) —
+        # measured 2.4x SLOWER than the dense blocked path at 256^3, so it
+        # is opt-in.  The banded BDIM blend and narrow-band remeasure (once
+        # per step, not per solver iteration) stay on whenever bbox is set.
+        lv_box0 = bbox_shape if banded_levels else None
+        self._lv_box = lv_box0
 
         def _bbox_of(d_center):
             if cfg0.bbox_shape is None:
@@ -103,14 +122,25 @@ class Simulation:
 
         self._bbox_of = _bbox_of
 
+        def _measure_all(t):
+            """Narrow-band measurement when the body window is on (the
+            reference's d²<(2+ε)² gate, Body.jl:32-44); dense otherwise."""
+            if cfg0.bbox_shape is not None:
+                return measure_fields_banded(body0, S, t, eps0, cfg0.perdir,
+                                             cfg0.exitBC, dtype,
+                                             cfg0.bbox_shape)
+            return measure_fields(body0, S, t, eps0, cfg0.perdir,
+                                  cfg0.exitBC, dtype)
+
+        self._measure_all = _measure_all
+
         def _init():
             state = flow_init(cfg0, ulam, dt)
-            V, m0, m1, dc = measure_fields(body0, S, 0.0, eps0, cfg0.perdir,
-                                           cfg0.exitBC, dtype)
+            V, m0, m1, dc = _measure_all(0.0)
             bb = _bbox_of(dc)
             state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
             return _cs(state), _cl(build_levels(m0, cfg0.perdir, cfg0.sharded,
-                                                cfg0.bbox_shape, bb))
+                                                lv_box0, bb))
 
         self.flow, self.levels = jax.jit(_init)()
 
@@ -128,18 +158,21 @@ class Simulation:
 
         def step_remeasure(state, levels):
             state = _cs(state)
-            V, m0, m1, dc = measure_fields(body_, cfg.S, state.t + state.dt,
-                                           eps_, cfg.perdir, cfg.exitBC,
-                                           cfg.dtype)
+            V, m0, m1, dc = _measure_all(state.t + state.dt)
             bb = _bbox_of(dc)
             state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
             levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded,
-                                      cfg.bbox_shape, bb))
+                                      lv_box0, bb))
             new, aux = mom_step(cfg, levels, state)
             return _cs(new), aux
 
         self._step_static = jax.jit(step_static)
         self._step_remeasure = jax.jit(step_remeasure)
+        # donated variants for the hot stepping loop: the returned state
+        # reuses the argument's buffers in place (no allocation spike, no
+        # copies) — callers must drop the donated reference
+        self._step_static_d = jax.jit(step_static, donate_argnums=(0,))
+        self._step_remeasure_d = jax.jit(step_remeasure, donate_argnums=(0,))
 
         def scan_steps(state, levels, n, remeasure):
             fn = step_remeasure if remeasure else step_static
@@ -152,6 +185,16 @@ class Simulation:
         # peak HBM for large 3D runs
         self._scan_steps = jax.jit(scan_steps, static_argnums=(2, 3),
                                    donate_argnums=(0,))
+        # `lax.scan` carries are pathological on remote-tunnel TPU runtimes:
+        # the loop boundary copies the carried state at a few GB/s (measured
+        # at 256³: 86 ms/step driven from the host vs 540-1080 ms/step
+        # scanned; at (96,64,64): 4.7 vs up to 83 ms/step depending on the
+        # terminal build).  steps() therefore drives the donated single-step
+        # program in an async host loop by default — dispatch (~1.5 ms) is
+        # hidden by pipelining, semantics are identical (no sync until the
+        # final fetch).  Raise this cell-count threshold to re-enable the
+        # on-device scan below it (e.g. healthy local backends).
+        self._loop_threshold = 0
 
     # -- observability -----------------------------------------------------
 
@@ -172,15 +215,14 @@ class Simulation:
         (reference `measure!(sim)`, src/WaterLily.jl:116-119)."""
         if t is None:
             t = float(self.flow.t) + float(self.flow.dt)
-        cfg, body, eps = self.cfg, self.body, self.epsilon
+        cfg = self.cfg
 
         def _measure(t):
-            V, m0, m1, dc = measure_fields(body, cfg.S, t, eps, cfg.perdir,
-                                           cfg.exitBC, cfg.dtype)
+            V, m0, m1, dc = self._measure_all(t)
             bb = self._bbox_of(dc)
             return (V, m0, m1, bb,
                     self._cl(build_levels(m0, cfg.perdir, cfg.sharded,
-                                          cfg.bbox_shape, bb)))
+                                          self._lv_box, bb)))
 
         V, m0, m1, bb, self.levels = jax.jit(_measure)(jnp.asarray(t, cfg.dtype))
         self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
@@ -213,11 +255,24 @@ class Simulation:
         return self
 
     def steps(self, n, remeasure=True):
-        """Advance ``n`` steps in a single on-device `lax.scan` (no host sync
-        until the final state is fetched) — the benchmarking fast path."""
+        """Advance ``n`` steps with no host sync until the final state is
+        fetched — the benchmarking fast path.
+
+        Small grids run one on-device `lax.scan`; large grids drive the
+        donated single-step program in an async host loop (same zero-sync
+        semantics — dispatch never blocks — but avoids the scan carry
+        copies that cripple multi-GB states on remote-tunnel runtimes)."""
         remeasure = remeasure and not isinstance(self.body, NoBody)
-        self.flow, pois_n = self._scan_steps(self.flow, self.levels, int(n),
-                                             bool(remeasure))
+        if math.prod(self.cfg.S) >= self._loop_threshold:
+            fn = self._step_remeasure_d if remeasure else self._step_static_d
+            rows = []
+            for _ in range(int(n)):
+                self.flow, aux = fn(self.flow, self.levels)
+                rows.append(aux["pois_n"])
+            pois_n = jnp.stack(rows)
+        else:
+            self.flow, pois_n = self._scan_steps(self.flow, self.levels,
+                                                 int(n), bool(remeasure))
         # reconstruct host history lazily (single device sync)
         for row in np.asarray(pois_n):
             self.pois_n.append(row)
