@@ -16,7 +16,8 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .grid import interior, interior_view, interior_mask, apply_field
+from .grid import (interior, interior_view, interior_mask, apply_field,
+                   pad_interior)
 from .ops.bc import bc_vector, bc_scalar_periodic, exit_bc
 from .ops.convect import conv_diff, accelerate, quick
 from .ops.multigrid import ml_solve
@@ -77,7 +78,7 @@ def div(u: jax.Array) -> jax.Array:
     for i in range(D):
         t = interior_view(u[i], D, _off(D, i, +1)) - interior_view(u[i], D)
         s = t if s is None else s + t
-    return jnp.pad(s, 1)
+    return pad_interior(s)
 
 
 def _bdim_blend(u0, r, V, mu0, mu1, dt):
@@ -102,7 +103,7 @@ def bdim(u, u0, r, V, mu0, mu1, dt):
     """BDIM velocity blend (reference `BDIM!`, src/Flow.jl:131-135)."""
     D = u.shape[0]
     upd = _bdim_blend(u0, r, V, mu0, mu1, dt)
-    return u + jnp.pad(upd, [(0, 0)] + [(1, 1)] * D)
+    return u + pad_interior(upd, lead=1)
 
 
 def bdim_banded(cfg, bbox, u, u0, r, V, mu0, mu1, dt, scale=None):
@@ -157,7 +158,7 @@ def project(levels, u, p, dt_eff, cfg):
     tr = out[3] if cfg.log else None
     from .ops.poisson import pressure_grad_interior
     upd = pressure_grad_interior(levels[0], x)
-    u = u - jnp.pad(upd, [(0, 0)] + [(1, 1)] * D)
+    u = u - pad_interior(upd, lead=1)
     p = x / dt_eff
     return u, p, (n, tr)
 

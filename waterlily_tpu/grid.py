@@ -106,6 +106,29 @@ def inside_count(S: tuple) -> int:
     return math.prod(s - 2 for s in S)
 
 
+def field_dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """⟨a, b⟩ over whole (real) fields as multiply + reduce.
+
+    Equivalent to ``jnp.vdot`` but without its flattening reshape: a reshape
+    of a spatially-sharded field forces GSPMD to all-gather the uneven axes,
+    while multiply+reduce partitions to a local reduction + all-reduce.
+    """
+    return jnp.sum(a * b)
+
+
+def pad_interior(v: jax.Array, lead: int = 0) -> jax.Array:
+    """Zero-ghost pad of an interior-shaped array.
+
+    One canonical spelling for all ghost write-backs: on an *evenly*
+    sharded axis (see `parallel.mesh.mesh_for`) GSPMD lowers this pad to
+    boundary `collective-permute`s with zero all-gathers, whereas
+    `dynamic_update_slice` / `.at[].set` (scatter) re-shard the update via
+    all-gathers even when the sharding divides evenly.
+    """
+    D = v.ndim - lead
+    return jnp.pad(v, [(0, 0)] * lead + [(1, 1)] * D)
+
+
 def band_box_start(mask: jax.Array, box_shape: tuple) -> jax.Array:
     """Lower corner of a static-shape window covering the True cells of ``mask``.
 

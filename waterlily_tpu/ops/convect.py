@@ -79,8 +79,13 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
         from .pallas_stencil import use_blocked, conv_diff3d_pallas
         if use_blocked(S, u.dtype, sharded):
             return conv_diff3d_pallas(u, nu, limiter, S)
-    # single edge-padded buffer: every stencil read below is a slice of this
-    up = jnp.pad(u, [(0, 0)] + [(2, 2)] * D, mode="edge")
+    # single zero-padded buffer: every stencil read below is a slice of
+    # this.  The pad planes are never *selected* (boundary faces take the
+    # cd / periodic-wrap branches and the write mask clips the rest), so a
+    # constant-0 pad replaces the original edge pad — GSPMD lowers it to
+    # collective-permutes on evenly-sharded axes, while mode="edge"
+    # (concatenated edge slices) all-gathers.
+    up = jnp.pad(u, [(0, 0)] + [(2, 2)] * D)
 
     def cells(c, offs=None):
         """Component(s) ``c`` of ``u`` on the full cell grid, offset by

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..grid import interior, interior_view
+from ..grid import interior, interior_view, field_dot, pad_interior
 from .bc import bc_vector, bc_scalar_periodic
 from .poisson import make_level, residual, jacobi, smooth, increment
 
@@ -49,56 +49,80 @@ def n_levels(S: tuple) -> int:
     return n
 
 
-def restrict(b: jax.Array) -> jax.Array:
+def restrict(b: jax.Array, sharded: bool = False) -> jax.Array:
     """Sum-of-children restriction of a scalar (reference ``restrict``, :3-9).
 
     Fine interior (2M per axis) -> coarse interior (M per axis); coarse
     ghosts are zero (residuals live on the interior only).
+
+    ``sharded`` selects a `reduce_window` form: a (2,…)-window stride-2 sum
+    has an SPMD partitioning rule (halo exchange), whereas the reshape-sum
+    on an unevenly-sharded axis forces GSPMD to all-gather that axis.
     """
     D = b.ndim
     S = b.shape
     v = interior_view(b, D)
+    if sharded:
+        r = jax.lax.reduce_window(v, b.dtype.type(0), jax.lax.add,
+                                  (2,) * D, (2,) * D, "VALID")
+        return pad_interior(r)
     for d in range(D):
         M = (S[d] - 2) // 2
         sh = v.shape[:d] + (M, 2) + v.shape[d + 1:]
         v = v.reshape(sh).sum(axis=d + 1)
-    return jnp.pad(v, 1)
+    return pad_interior(v)
 
 
-def restrict_L(L: jax.Array, perdir: tuple = ()) -> jax.Array:
+def restrict_L(L: jax.Array, perdir: tuple = (), sharded: bool = False) -> jax.Array:
     """Face-coefficient restriction (reference ``restrictL``, :10-16,26-32).
 
     Component ``i`` sums the 2^(D-1) transverse children of the lower child
     face and scales by 0.5; then the vector BC zeroes the wall-normal ghosts.
+    ``sharded``: window (1 along i, 2 transverse) stride-2 `reduce_window`
+    replaces the strided-slice + reshape-sum (see `restrict`).
     """
     D = L.shape[0]
     S = L.shape[1:]
     comps = []
     for i in range(D):
         v = interior_view(L[i], D)
-        for d in range(D):
-            M = (S[d] - 2) // 2
-            if d == i:
-                # lower child only: fine interior indices 0,2,4,... of the view
-                v = jax.lax.slice_in_dim(v, 0, 2 * M, stride=2, axis=d)
-            else:
-                sh = v.shape[:d] + (M, 2) + v.shape[d + 1:]
-                v = v.reshape(sh).sum(axis=d + 1)
-        comps.append(jnp.pad(0.5 * v, 1))
+        if sharded:
+            w = tuple(1 if d == i else 2 for d in range(D))
+            v = jax.lax.reduce_window(v, L.dtype.type(0), jax.lax.add,
+                                      w, (2,) * D, "VALID")
+        else:
+            for d in range(D):
+                M = (S[d] - 2) // 2
+                if d == i:
+                    # lower child only: fine interior indices 0,2,4,...
+                    v = jax.lax.slice_in_dim(v, 0, 2 * M, stride=2, axis=d)
+                else:
+                    sh = v.shape[:d] + (M, 2) + v.shape[d + 1:]
+                    v = v.reshape(sh).sum(axis=d + 1)
+        comps.append(pad_interior(0.5 * v))
     a = jnp.stack(comps, axis=0)
     return bc_vector(a, (0.0,) * D, save_exit=False, perdir=perdir)
 
 
-def prolongate(x_coarse: jax.Array, S_fine: tuple) -> jax.Array:
+def prolongate(x_coarse: jax.Array, S_fine: tuple, sharded: bool = False) -> jax.Array:
     """Piecewise-constant injection coarse->fine (reference :34).
 
     Fine ghosts are zero — the correction ``ϵ`` is an interior field.
+    ``sharded``: a stride-2 ones-kernel `conv_transpose` (SPMD-partitionable)
+    replaces `jnp.repeat`, whose reshape lowering all-gathers uneven axes.
     """
     D = x_coarse.ndim
     v = interior_view(x_coarse, D)
+    if sharded:
+        k = jnp.ones((2,) * D + (1, 1), x_coarse.dtype)
+        spatial = "DHW"[3 - D:]
+        dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+        out = jax.lax.conv_transpose(v[None, ..., None], k, (2,) * D,
+                                     "VALID", dimension_numbers=dn)
+        return pad_interior(out[0, ..., 0])
     for d in range(D):
         v = jnp.repeat(v, 2, axis=d)
-    return jnp.pad(v, 1)
+    return pad_interior(v)
 
 
 def _band_ok(S, box_shape):
@@ -147,7 +171,7 @@ def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
                                  box_start=box_start if banded else None))
         if li == nlev - 1:
             break
-        L = restrict_L(L, perdir)
+        L = restrict_L(L, perdir, sharded)
         # restrict_L sums the 2^(D-1) transverse children and halves: the
         # far-field constant scales by 2^(D-2) per level (doubles in 3D,
         # stays 1 in 2D)
@@ -172,12 +196,12 @@ def vcycle(levels: tuple, l: int, x, r):
     prolongate and increment.  Unrolled over the static level stack."""
     fine, coarse = levels[l], levels[l + 1]
     x, r = jacobi(fine, x, r)
-    rc = restrict(r)
+    rc = restrict(r, fine.sharded)
     xc = jnp.zeros_like(coarse.D)
     if l + 1 < len(levels) - 1:
         xc, rc = vcycle(levels, l + 1, xc, rc)
     xc, rc = smooth(coarse, xc, rc)
-    eps = prolongate(xc, x.shape)
+    eps = prolongate(xc, x.shape, fine.sharded)
     x, r = increment(fine, x, r, eps)
     return x, r
 
@@ -202,7 +226,7 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
     r = residual(fine, x, z)
 
     def log_row(r):
-        return jnp.stack([jnp.max(jnp.abs(r)), jnp.vdot(r, r)]).astype(x.dtype)
+        return jnp.stack([jnp.max(jnp.abs(r)), field_dot(r, r)]).astype(x.dtype)
 
     if fixed is not None:
         tr = jnp.zeros((fixed + 1, 2), x.dtype)
@@ -229,13 +253,13 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
         x, r, n, _, tr = c
         x, r = vcycle(levels, 0, x, r)
         x, r = smooth(fine, x, r)
-        r2 = jnp.vdot(r, r)
+        r2 = field_dot(r, r)
         if trace:
             tr = tr.at[n + 1].set(log_row(r))
         return (x, r, n + 1, r2, tr)
 
     x, r, n, r2, tr = jax.lax.while_loop(
-        cond, body, (x, r, jnp.int32(0), jnp.vdot(r, r), tr))
+        cond, body, (x, r, jnp.int32(0), field_dot(r, r), tr))
     x = bc_scalar_periodic(x, fine.perdir)
     if trace:
         return x, r, n, tr

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..grid import (shift, interior_view, interior_mask, mask_interior,
-                    inside_count)
+                    inside_count, field_dot, pad_interior)
 from .bc import bc_scalar_periodic
 
 
@@ -74,7 +74,7 @@ def _diag(L: jax.Array) -> jax.Array:
     for i in range(D):
         t = interior_view(L[i], D) + interior_view(L[i], D, _off(D, i, +1))
         s = t if s is None else s + t
-    return jnp.pad(-s, 1)
+    return pad_interior(-s)
 
 
 def make_level(L: jax.Array, perdir: tuple = (), sharded: bool = False,
@@ -192,14 +192,14 @@ def _banded_ax(lev: PoissonLevel, x: jax.Array, with_dot: bool = False):
             # fix the partial dot for the window overwrite
             xw_int = interior_view(_win(lev, x), D)
             z_old_w = jax.lax.dynamic_slice(z, start_g, lev.box_shape)
-            dot = dot + jnp.vdot(zw - z_old_w, xw_int)
+            dot = dot + field_dot(zw - z_old_w, xw_int)
             z = jax.lax.dynamic_update_slice(z, zw, start_g)
             return z, dot
         z = ana_mult3d_pallas(x, lev.c, lev.perdir)
         return jax.lax.dynamic_update_slice(z, zw, start_g)
-    z = jnp.pad(_banded_mult_interior(lev, x), 1)
+    z = pad_interior(_banded_mult_interior(lev, x))
     if with_dot:
-        return z, jnp.vdot(z, x)
+        return z, field_dot(z, x)
     return z
 
 
@@ -214,7 +214,7 @@ def _rid(lev: PoissonLevel, r: jax.Array) -> jax.Array:
     iD_far = 1.0 / _ana_D_interior(r.shape, lev.perdir, r.dtype, lev.c)
     s = interior_view(r, D) * iD_far.astype(r.dtype)
     ew = interior_view(_win(lev, r), D) * interior_view(_win(lev, lev.iD), D)
-    return jnp.pad(_box_update(lev, s, ew), 1)
+    return pad_interior(_box_update(lev, s, ew))
 
 
 def mult(lev: PoissonLevel, x: jax.Array) -> jax.Array:
@@ -225,7 +225,7 @@ def mult(lev: PoissonLevel, x: jax.Array) -> jax.Array:
     if lev.blocked:
         from .pallas_stencil import mult3d_pallas
         return mult3d_pallas(lev.L, lev.D, x, x.shape)
-    return jnp.pad(_mult_interior(lev, x), 1)
+    return pad_interior(_mult_interior(lev, x))
 
 
 def residual(lev: PoissonLevel, x: jax.Array, z: jax.Array) -> jax.Array:
@@ -251,7 +251,7 @@ def residual(lev: PoissonLevel, x: jax.Array, z: jax.Array) -> jax.Array:
     s = jnp.sum(r_int) / inside_count(x.shape)
     eps = jnp.finfo(x.dtype).eps
     corr = jnp.where(jnp.abs(s) <= 2 * eps, 0.0, s).astype(x.dtype)
-    return jnp.pad(r_int - corr, 1)
+    return pad_interior(r_int - corr)
 
 
 def increment(lev: PoissonLevel, x, r, eps):
@@ -311,7 +311,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
 
     z = _rid(lev, r)
     eps = z
-    rho = jnp.vdot(r, z)
+    rho = field_dot(r, z)
     dead = jnp.abs(rho) < teneps
 
     for i in range(it):
@@ -320,7 +320,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
             z, denom = _banded_ax(lev, eps, with_dot=True)
         else:
             z = mult(lev, eps)
-            denom = jnp.vdot(z, eps)
+            denom = field_dot(z, eps)
         alpha = jnp.where(dead | (denom == 0), 0.0,
                           rho / jnp.where(denom == 0, 1.0, denom)).astype(dt)
         dead = dead | (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)
@@ -330,7 +330,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
         if i == it - 1:
             break
         z2 = _rid(lev, r)
-        rho2 = jnp.vdot(r, z2)
+        rho2 = field_dot(r, z2)
         dead = dead | (jnp.abs(rho2) < teneps)
         beta = jnp.where(dead, 0.0, rho2 / jnp.where(rho == 0, 1.0, rho)).astype(dt)
         # no full-array freeze of eps/z is needed once dead: the scalar
@@ -365,8 +365,8 @@ def poisson_solve(lev: PoissonLevel, x, z, tol=1e-4, itmx=1000, smoother=smooth)
     def body(c):
         x, r, n, _ = c
         x, r = smoother(lev, x, r)
-        return (x, r, n + 1, jnp.vdot(r, r))
+        return (x, r, n + 1, field_dot(r, r))
 
-    x, r, n, r2 = jax.lax.while_loop(cond, body, (x, r, jnp.int32(0), jnp.vdot(r, r)))
+    x, r, n, r2 = jax.lax.while_loop(cond, body, (x, r, jnp.int32(0), field_dot(r, r)))
     x = bc_scalar_periodic(x, lev.perdir)
     return x, r, n

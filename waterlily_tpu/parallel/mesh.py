@@ -22,8 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..flow import FlowState, mom_step
 
-__all__ = ["make_mesh", "state_specs", "constrain_state", "constrain_levels",
-           "sharded_step_fn", "sharded_scan_fn"]
+__all__ = ["make_mesh", "mesh_for", "state_specs", "constrain_state",
+           "constrain_levels", "sharded_step_fn", "sharded_scan_fn"]
 
 
 def make_mesh(n: int | None = None, devices=None, axes=("x",)) -> Mesh:
@@ -49,8 +49,48 @@ def make_mesh(n: int | None = None, devices=None, axes=("x",)) -> Mesh:
     return Mesh(devices, axes)
 
 
+def mesh_for(S: tuple, n: int | None = None, devices=None) -> Mesh:
+    """Device mesh whose per-axis factors *divide* the padded grid size.
+
+    GSPMD handles unevenly-sharded axes correctly but pays for them: any
+    offset write-back (ghost pad, window update) on an axis whose size is
+    not a multiple of its shard count falls back to an all-gather, while
+    evenly-sharded axes lower purely to `collective-permute` halo exchanges
+    (measured: pad/roll forms go from 3 gathers to 0).  Ghost-padded sizes
+    ``N+2`` with the solver's even-``N`` constraint are always divisible by
+    2 — and so is every coarser multigrid level — so factors of 2 per axis
+    are always clean.
+
+    Greedily assigns the largest power-of-2 factor of ``n`` dividing each
+    ``S[d]``; any remainder becomes a trailing replica axis ``"r"`` (not
+    referenced by the field specs, so fields are replicated across it).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n is not None:
+            devices = devices[:n]
+    n = len(devices)
+    names = ("x", "y", "z")
+    dims, axes = [], []
+    rem = n
+    for d, s in enumerate(S[:3]):
+        f = 1
+        while rem % 2 == 0 and s % (2 * f) == 0:
+            f *= 2
+            rem //= 2
+        if f > 1:
+            dims.append(f)
+            axes.append(names[d])
+    if rem > 1:
+        dims.append(rem)
+        axes.append("r")
+    return Mesh(np.asarray(devices).reshape(dims), tuple(axes))
+
+
 def _spatial_spec(mesh: Mesh, D: int, lead: int) -> P:
-    names = list(mesh.axis_names)
+    # mesh axes map positionally onto spatial dims; a replica axis "r"
+    # (mesh_for's non-dividing remainder) is never assigned to a dim
+    names = [n for n in mesh.axis_names if n != "r"]
     return P(*([None] * lead + [names[k] if k < len(names) else None
                                 for k in range(D)]))
 
@@ -79,7 +119,7 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
     stay off in a spatially-decomposed program — even for levels the caller
     built without the flag."""
     out = []
-    names = list(mesh.axis_names)
+    names = [n for n in mesh.axis_names if n != "r"]
     for lev in levels:
         S = lev.D.shape
         lev = lev.replace(sharded=True, blocked=False, banded=False,

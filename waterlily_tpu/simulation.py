@@ -302,9 +302,13 @@ class Simulation:
         for name in fields:
             out[name] = []
         while self.sim_time < t_end:
-            dt_nd = float(self.flow.dt) * self.U / self.L
-            n = max(1, int(every / max(dt_nd, 1e-9)))
-            self.steps(n, remeasure=remeasure)
+            # step in dt-predicted chunks, re-predicting as dt adapts, so a
+            # growing time step cannot overshoot the sample interval
+            target = min(self.sim_time + every, t_end)
+            while self.sim_time < target:
+                dt_nd = float(self.flow.dt) * self.U / self.L
+                n = max(1, int((target - self.sim_time) / max(dt_nd, 1e-9)))
+                self.steps(n, remeasure=remeasure)
             out["t"].append(self.sim_time)
             for name, fn in fields.items():
                 out[name].append(np.asarray(fn(self)))
