@@ -44,9 +44,25 @@ def test_no_recompilation_periodic_wall_configs():
     assert sim._step_static._cache_size() == 1
 
 
-def test_scan_steps_single_compile():
+def test_steps_single_compile():
+    """steps() batches (default: donated host loop) never retrace."""
     sim = plate_sim()
     sim.steps(3, remeasure=False)
     sim.steps(3, remeasure=False)
-    assert sim._scan_steps._cache_size() == 1
+    assert sim._step_static_d._cache_size() == 1
     assert not np.any(np.isnan(np.asarray(sim.flow.u)))
+    assert len(sim.pois_n) == 6  # aux history recorded per step
+
+
+def test_scan_steps_single_compile():
+    """The on-device lax.scan path (opt-in above _loop_threshold) compiles
+    once and matches the host-loop trajectory."""
+    sim = plate_sim()
+    sim.steps(4, remeasure=False)
+    ref = np.asarray(sim.flow.u)
+    sim2 = plate_sim()
+    sim2._loop_threshold = 10 ** 12  # force the scan path
+    sim2.steps(2, remeasure=False)
+    sim2.steps(2, remeasure=False)
+    assert sim2._scan_steps._cache_size() == 1
+    assert np.allclose(ref, np.asarray(sim2.flow.u), atol=1e-6)

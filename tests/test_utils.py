@@ -48,5 +48,6 @@ def test_run_record_sample_interval():
     assert len(t) >= 4
     max_dt_nd = max(sim.dts) * sim.U / sim.L
     gaps = np.diff(np.concatenate([[0.0], t]))
-    assert np.all(gaps >= 0.5 - 1e-9)
+    # the final sample's target clamps to t_end, so its gap may be short
+    assert np.all(gaps[:-1] >= 0.5 - 1e-9), gaps
     assert np.all(gaps <= 0.5 + max_dt_nd + 1e-6), (gaps, max_dt_nd)

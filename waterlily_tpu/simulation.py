@@ -301,13 +301,19 @@ class Simulation:
         out = {"t": []}
         for name in fields:
             out[name] = []
+        ramp = 1  # chunk-size ramp: small chunks while the CFL dt settles
         while self.sim_time < t_end:
-            # step in dt-predicted chunks, re-predicting as dt adapts, so a
-            # growing time step cannot overshoot the sample interval
+            # geometric chunking: each chunk is sized for at most half the
+            # remaining interval at the *current* dt (re-predicted as the
+            # CFL step adapts) and doubles from 1 across the run — so even a
+            # sharply growing dt cannot blow through the sample interval
+            # (cost: O(log) host syncs per sample)
             target = min(self.sim_time + every, t_end)
             while self.sim_time < target:
                 dt_nd = float(self.flow.dt) * self.U / self.L
-                n = max(1, int((target - self.sim_time) / max(dt_nd, 1e-9)))
+                n = max(1, min(ramp, int(0.5 * (target - self.sim_time)
+                                         / max(dt_nd, 1e-9))))
+                ramp = 2 * ramp
                 self.steps(n, remeasure=remeasure)
             out["t"].append(self.sim_time)
             for name, fn in fields.items():
