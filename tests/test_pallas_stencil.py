@@ -39,6 +39,18 @@ def test_blocked_mult(level_and_fields, block):
     assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
 
 
+@pytest.mark.parametrize("block", [2, 5])
+def test_blocked_mult_with_dot(level_and_fields, block):
+    """In-kernel ⟨A·x, x⟩ partial sums (the PCG alpha denominator) match the
+    separate vdot to fp accumulation-order noise."""
+    S, lev, x, r, eps = level_and_fields
+    z_ref = mult(lev, x)
+    z_pl, dot = mult3d_pallas(lev.L, lev.D, x, S, interpret=True,
+                              block=block, with_dot=True)
+    assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
+    assert np.isclose(float(dot), float(jnp.sum(z_ref * x)), rtol=1e-5)
+
+
 @pytest.mark.parametrize("block", [2, 4])
 def test_blocked_increment(level_and_fields, block):
     S, lev, x, r, eps = level_and_fields

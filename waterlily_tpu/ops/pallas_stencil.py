@@ -96,27 +96,48 @@ def _specs(S, B):
     ]
 
 
-def _mult_kernel(S, B, dtype, L_ref, L0d_ref, D_ref, xc_ref, xu_ref, xd_ref,
-                 z_ref):
+def _mult_kernel(S, B, dtype, with_dot, L_ref, L0d_ref, D_ref, xc_ref,
+                 xu_ref, xd_ref, *out_refs):
     mask = _ghost_mask(S, B, dtype)
-    z_ref[...] = _mult_block(L_ref[...], L0d_ref[0], D_ref[...], xc_ref[...],
-                             xu_ref[...], xd_ref[...], mask, B)
+    xc = xc_ref[...]
+    z = _mult_block(L_ref[...], L0d_ref[0], D_ref[...], xc,
+                    xu_ref[...], xd_ref[...], mask, B)
+    out_refs[0][...] = z
+    if with_dot:
+        # per-slab partial of ⟨A·x, x⟩ (z is ghost-zero, so this is the
+        # interior dot) — saves the two full re-read passes XLA would
+        # spend on a separate vdot (the PCG alpha denominator).  where()
+        # rather than relying on z's mask factor: a ragged tail slab reads
+        # out-of-bounds rows whose garbage (NaN in interpret mode) would
+        # survive a multiply-by-zero.
+        mask = _ghost_mask(S, B, jnp.bool_)
+        out_refs[1][...] = jnp.sum(jnp.where(mask, z * xc, 0.0)).reshape(1, 1, 1)
 
 
-def mult3d_pallas(L, Dd, x, S, interpret=False, block=BLOCK):
+def mult3d_pallas(L, Dd, x, S, interpret=False, block=BLOCK, with_dot=False):
     """z = A x via the blocked streaming kernel (periodic ghosts of ``x``
-    must already be filled by the caller)."""
+    must already be filled by the caller).  ``with_dot`` also returns
+    ⟨A·x, x⟩ accumulated in-kernel."""
     dtype = x.dtype
     B = block
     G = pl.cdiv(S[0], B)
-    return pl.pallas_call(
-        partial(_mult_kernel, S, B, dtype),
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
+    out_specs = [slab]
+    out_shape = [jax.ShapeDtypeStruct(S, dtype)]
+    if with_dot:
+        out_specs.append(pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((G, 1, 1), dtype))
+    out = pl.pallas_call(
+        partial(_mult_kernel, S, B, dtype, with_dot),
         grid=(G,),
         in_specs=_specs(S, B),
-        out_specs=pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(S, dtype),
+        out_specs=out_specs if with_dot else out_specs[0],
+        out_shape=out_shape if with_dot else out_shape[0],
         interpret=interpret,
     )(L, L, Dd, x, x, x)
+    if with_dot:
+        return out[0], jnp.sum(out[1])
+    return out
 
 
 def _rsub_kernel(S, B, dtype, L_ref, L0d_ref, D_ref, ec_ref, eu_ref,

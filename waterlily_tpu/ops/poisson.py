@@ -318,6 +318,10 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
         eps = bc_scalar_periodic(eps, lev.perdir)
         if lev.banded:
             z, denom = _banded_ax(lev, eps, with_dot=True)
+        elif lev.blocked:
+            from .pallas_stencil import mult3d_pallas
+            z, denom = mult3d_pallas(lev.L, lev.D, eps, eps.shape,
+                                     with_dot=True)
         else:
             z = mult(lev, eps)
             denom = field_dot(z, eps)
