@@ -10,14 +10,16 @@ import jax
 import jax.numpy as jnp
 
 from waterlily_tpu.models.cases import sphere_3d
-from waterlily_tpu.parallel.mesh import make_mesh, sharded_scan_fn
+from waterlily_tpu.parallel.mesh import mesh_for, sharded_scan_fn
 
 
 def main():
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_dev, axes=("x",) if n_dev <= 2 else ("x", "y"))
-    print(f"mesh: {dict(mesh.shape)}")
     sim = sphere_3d(48, 32, dtype=jnp.float32)
+    # mesh_for picks per-axis factors that divide the padded grid — ghost
+    # write-backs then lower to collective-permutes with no all-gathers
+    mesh = mesh_for(sim.cfg.S, n_dev)
+    print(f"mesh: {dict(mesh.shape)}")
     scan = sharded_scan_fn(sim.cfg, mesh)
     state, pois = scan(sim.flow, sim.levels, 20)
     jax.block_until_ready(state.u)

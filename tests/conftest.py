@@ -18,7 +18,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compile cache: jit programs dominate suite wall time on the
-# 1-core CI box; warm reruns skip compilation entirely
+# 1-core CI box; warm reruns skip compilation entirely.  min_compile_secs=0
+# caches even sub-second programs — the suite compiles hundreds of them.
 from waterlily_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
-enable_compile_cache()
+enable_compile_cache(min_compile_secs=0.0)

@@ -72,10 +72,11 @@ def test_reverse_grad_ke_wrt_nu():
                 val(jnp.asarray(nu0 - h, f64))) / (2 * h))
     assert np.isfinite(g)
     assert np.isclose(g, fd, rtol=1e-4), (g, fd)
-    # reverse == forward on the identical fixed-trip program
-    _, jv = jax.jvp(_ke_after, (jnp.asarray(nu0, f64),),
-                    (jnp.ones((), f64),))
-    assert np.isclose(g, float(jv), rtol=1e-9)
+    # reverse == forward on the identical fixed-trip program (jitted: an
+    # eager jvp would execute thousands of ops one-by-one on the CI box)
+    jv_fn = jax.jit(lambda nu: jax.jvp(_ke_after, (nu,),
+                                       (jnp.ones((), f64),))[1])
+    assert np.isclose(g, float(jv_fn(jnp.asarray(nu0, f64))), rtol=1e-9)
 
 
 def test_reverse_grad_through_body_measurement():

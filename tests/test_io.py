@@ -71,3 +71,21 @@ def test_checkpoint_roundtrip(tmp_path, D):
     assert float(sim.flow.dt) == float(restart.flow.dt)
     assert float(sim.flow.t) == float(restart.flow.t)
     assert sim.dts == restart.dts
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax backend (per-host parallel shard writes on real meshes)."""
+    pytest.importorskip("orbax.checkpoint")
+    from waterlily_tpu.io.checkpoint import (save_checkpoint_orbax,
+                                             restart_sim_orbax)
+    sim = sphere_sim(2)
+    sim.sim_step(0.02)
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, sim)
+    restart = sphere_sim(2)
+    restart_sim_orbax(restart, path)
+    for field in ("u", "p", "V", "mu0", "mu1"):
+        assert np.array_equal(np.asarray(getattr(sim.flow, field)),
+                              np.asarray(getattr(restart.flow, field))), field
+    assert float(sim.flow.t) == float(restart.flow.t)
+    assert sim.dts == restart.dts

@@ -25,7 +25,9 @@ def test_mesh_shapes():
 @pytest.mark.parametrize("axes,perdir", [(("x",), ()), (("x", "y"), ()),
                                          (("x",), (0, 1))])
 def test_sharded_step_matches_single(axes, perdir):
-    cfg = FlowConfig(D=2, S=(66, 66), U=(1.0, 0.0), nu=0.01, dtype=f32,
+    # 34² keeps the GSPMD compiles cheap; the (2,4) mesh still exercises
+    # uneven 4-way sharding of the padded axis
+    cfg = FlowConfig(D=2, S=(34, 34), U=(1.0, 0.0), nu=0.01, dtype=f32,
                      perdir=perdir)
 
     def ulam(i, x):
@@ -122,6 +124,25 @@ def test_mesh_for_divides_axes():
     assert dict(zip(m.axis_names, m.devices.shape)) == {"x": 2, "y": 2, "r": 2}
     m = mesh_for((36, 34), 8)   # 36 % 4 == 0 -> x gets 4
     assert dict(zip(m.axis_names, m.devices.shape)) == {"x": 4, "y": 2}
+
+
+def test_replica_axis_mesh_matches_single():
+    """A mesh with a non-dividing remainder gets a replica axis "r" that is
+    never assigned to a spatial dim; the step still matches single-device."""
+    from waterlily_tpu.parallel.mesh import mesh_for
+    cfg = FlowConfig(D=2, S=(66, 34), U=(1.0, 0.0), nu=0.02, dtype=f32)
+
+    def ulam(i, x):
+        return jnp.where(i == 0, 1.0 + 0.1 * jnp.sin(x[1] / 5), 0.0)
+
+    state = flow_init(cfg, ulam)
+    levels = build_levels(state.mu0)
+    ref, _ = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
+
+    mesh = mesh_for(cfg.S, 8)
+    assert "r" in mesh.axis_names
+    out, _ = sharded_step_fn(cfg, mesh)(state, levels)
+    assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
 
 
 def test_sharded_hlo_halos_are_collective_permute():

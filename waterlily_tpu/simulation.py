@@ -8,8 +8,10 @@ the CFL reduction — is one jitted XLA program; the host only checks the
 dimensionless-time stopping criterion between steps (exactly the data the
 reference syncs for its `while sim_time < t_end` loop).
 
-For benchmarking, `steps(n)` advances n steps under one `lax.scan` with no
-host synchronisation at all.
+For benchmarking, `steps(n)` advances n steps with no host synchronisation
+until the final fetch (an async loop over the donated single-step program —
+see the `_loop_threshold` note for why this beats `lax.scan` on remote
+runtimes).
 """
 from __future__ import annotations
 
