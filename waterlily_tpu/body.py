@@ -402,9 +402,15 @@ def band_box_shape(body, S, t=0.0, eps=1.0, dtype=jnp.float32, margin=3,
         return None
     D = len(S)
     t_ = jnp.asarray(t, dtype)
-    centers = loc_grid(S, None, dtype).reshape(-1, D)
-    d = jax.jit(lambda ts: jax.vmap(lambda x: sdf(body, x, ts))(centers)
-                .reshape(S))(t_)
+
+    def _d_center(ts):
+        # coordinates built inside the trace: a closed-over concrete array
+        # would ride along as a program constant (remote-compile uploads
+        # then exceed the tunnel's request limit at ≥320³ grids)
+        centers = loc_grid(S, None, dtype).reshape(-1, D)
+        return jax.vmap(lambda x: sdf(body, x, ts))(centers).reshape(S)
+
+    d = jax.jit(_d_center)(t_)
     mask = np.asarray(d) < (2.0 + eps)
     if not mask.any():
         return None
