@@ -160,3 +160,38 @@ def test_banded_box_tracks_moving_body():
 def test_nobody_disables_banding():
     sim = tgv_2d(L=32)
     assert sim.cfg.bbox_shape is None
+
+
+def test_band_outgrowing_window_raises():
+    """A band that grows past the t=0-sized static window must be a hard
+    error, not silently-truncated physics."""
+    from waterlily_tpu.simulation import Simulation
+
+    def grow(x, t):  # radius 4 -> band outgrows the margin-3 window fast
+        return jnp.sqrt(jnp.sum((x - 24.0) ** 2)) - (4.0 + 4.0 * t)
+
+    sim = Simulation((48, 48), (1, 0), 8.0, nu=0.1, body=AutoBody(grow),
+                     bbox="force")
+    with pytest.raises(RuntimeError, match="band outgrew"):
+        for _ in range(12):
+            sim.step(remeasure=True)
+
+
+def test_set_body_swaps_geometry():
+    """set_body rebuilds the jitted programs for the new geometry (plain
+    attribute assignment would keep simulating the traced-in body)."""
+    from waterlily_tpu.simulation import Simulation
+    from waterlily_tpu.body import measure_sdf
+
+    b1 = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - 16.0) ** 2)) - 4.0)
+    b2 = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - 24.0) ** 2)) - 4.0)
+    sim = Simulation((32, 32), (1, 0), 8.0, nu=0.1, body=b1)
+    sim.step(remeasure=True)
+    mu0_before = np.asarray(sim.flow.mu0).copy()
+    sim.set_body(b2)
+    sim.step(remeasure=True)
+    mu0_after = np.asarray(sim.flow.mu0)
+    # the solid (mu0 == 0) region must have moved to the new center
+    assert (mu0_before[0, 14:19, 14:19] < 0.5).any()
+    assert (mu0_after[0, 22:27, 22:27] < 0.5).any()
+    assert not (mu0_after[0, 12:16, 12:16] < 0.5).any()

@@ -73,6 +73,29 @@ def test_checkpoint_roundtrip(tmp_path, D):
     assert sim.dts == restart.dts
 
 
+def test_checkpoint_bbox_recomputed_for_banded_sim(tmp_path):
+    """Restoring a bbox=False (or pre-banded) checkpoint into a banded sim
+    must recompute the window corner from the body — a zero corner would
+    park the BDIM window at the domain edge while the body sits mid-domain."""
+    from waterlily_tpu.models.cases import circle_2d
+    a = circle_2d(n=64, m=48, bbox=False)
+    a.sim_step(0.02)
+    f = str(tmp_path / "c.npz")
+    save_checkpoint(f, a)
+
+    b = circle_2d(n=64, m=48, bbox="force")
+    restart_sim(b, f)
+    got = np.asarray(b.flow.bbox)
+    assert (got > 0).all(), got  # zeros = window parked at the corner
+    # trajectories agree with the dense restart
+    c = circle_2d(n=64, m=48, bbox=False)
+    restart_sim(c, f)
+    for _ in range(3):
+        b.step(remeasure=False)
+        c.step(remeasure=False)
+    assert np.allclose(np.asarray(b.flow.u), np.asarray(c.flow.u), atol=2e-4)
+
+
 def test_checkpoint_roundtrip_orbax(tmp_path):
     """Orbax backend (per-host parallel shard writes on real meshes)."""
     pytest.importorskip("orbax.checkpoint")

@@ -30,11 +30,19 @@ def test_trace_profile(tmp_path):
 
 
 def test_enable_compile_cache(tmp_path):
-    d = enable_compile_cache(str(tmp_path / "cc"))
-    assert os.path.isdir(d)
-    assert jax.config.jax_compilation_cache_dir == d
-    # idempotent
-    assert enable_compile_cache(str(tmp_path / "cc")) == d
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = enable_compile_cache(str(tmp_path / "cc"))
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # idempotent
+        assert enable_compile_cache(str(tmp_path / "cc")) == d
+    finally:
+        # restore the suite-wide persistent cache (conftest) — leaving the
+        # config pointed at tmp_path would silently disable caching for
+        # every program compiled after this test
+        if prev is not None:
+            enable_compile_cache(prev)
 
 
 def test_run_record_sample_interval():

@@ -34,6 +34,33 @@ def load_checkpoint(fname: str):
         return {k: data[k] for k in data.files}
 
 
+def _restored_bbox(sim, data, dtype, D):
+    """Band-window corner for a restored state.
+
+    The checkpoint's bbox cannot be trusted into a *banded* sim: it may come
+    from pre-banded code or a bbox=False run (zeros), which would park the
+    BDIM window at the domain corner while the body sits mid-domain — so for
+    banded sims the corner is recomputed from the body at the restored time.
+    """
+    import jax
+
+    if sim.cfg.bbox_shape is None:
+        bbox = data.get("bbox")
+        if bbox is None:
+            bbox = np.zeros((D,), np.int32)
+        return jnp.asarray(bbox, jnp.int32)
+    from ..body import sdf as _sdf
+    from ..grid import loc_grid, band_box_start
+    body, S, eps = sim.body, sim.cfg.S, sim.epsilon
+
+    def _corner(ts):
+        pts = loc_grid(S, None, dtype).reshape(-1, D)
+        d = jax.vmap(lambda x: _sdf(body, x, ts))(pts).reshape(S)
+        return band_box_start(d < (2.0 + eps), sim.cfg.bbox_shape)
+
+    return jax.jit(_corner)(jnp.asarray(data["t"], dtype))
+
+
 def restart_sim(sim, fname: str):
     """Restore a Simulation in place from a checkpoint.
 
@@ -44,12 +71,12 @@ def restart_sim(sim, fname: str):
         raise ValueError(f"checkpoint grid {data['p'].shape} != sim grid {sim.cfg.S}")
     dtype = sim.cfg.dtype
     D = len(sim.cfg.S)
-    bbox = data.get("bbox", np.zeros((D,), np.int32))  # pre-banded checkpoints
+    bbox = _restored_bbox(sim, data, dtype, D)
     sim.flow = FlowState(
         u=jnp.asarray(data["u"], dtype), p=jnp.asarray(data["p"], dtype),
         V=jnp.asarray(data["V"], dtype), mu0=jnp.asarray(data["mu0"], dtype),
         mu1=jnp.asarray(data["mu1"], dtype), dt=jnp.asarray(data["dt"], dtype),
-        t=jnp.asarray(data["t"], dtype), bbox=jnp.asarray(bbox, jnp.int32))
+        t=jnp.asarray(data["t"], dtype), bbox=bbox)
     from ..ops.multigrid import build_levels
     # _lv_box (not cfg.bbox_shape): banded Poisson levels are opt-in
     sim.levels = build_levels(sim.flow.mu0, sim.cfg.perdir, sim.cfg.sharded,
@@ -88,12 +115,13 @@ def restart_sim_orbax(sim, path: str):
         raise ValueError(
             f"checkpoint grid {data['p'].shape} != sim grid {sim.cfg.S}")
     dtype = sim.cfg.dtype
+    D = len(sim.cfg.S)
     sim.flow = FlowState(
         u=jnp.asarray(data["u"], dtype), p=jnp.asarray(data["p"], dtype),
         V=jnp.asarray(data["V"], dtype), mu0=jnp.asarray(data["mu0"], dtype),
         mu1=jnp.asarray(data["mu1"], dtype), dt=jnp.asarray(data["dt"], dtype),
         t=jnp.asarray(data["t"], dtype),
-        bbox=jnp.asarray(data["bbox"], jnp.int32))
+        bbox=_restored_bbox(sim, data, dtype, D))
     from ..ops.multigrid import build_levels
     sim.levels = build_levels(sim.flow.mu0, sim.cfg.perdir, sim.cfg.sharded,
                               getattr(sim, "_lv_box", None), sim.flow.bbox)

@@ -225,7 +225,10 @@ def _ana_kernel(S, B, c, perdir, with_dot, dtype,
     z = jnp.where(gmask, c * t - (c * nf) * xc, 0.0).astype(dtype)
     out_refs[0][...] = z
     if with_dot:
-        out_refs[1][...] = jnp.sum(z * xc).reshape(1, 1, 1)
+        # where() rather than z's zero factor: a ragged tail slab reads
+        # out-of-bounds rows whose garbage (NaN in interpret mode) survives
+        # a multiply-by-zero and would poison the PCG denominator
+        out_refs[1][...] = jnp.sum(jnp.where(gmask, z * xc, 0.0)).reshape(1, 1, 1)
 
 
 def ana_mult3d_pallas(x, c, perdir=(), with_dot=False, interpret=False,

@@ -74,67 +74,30 @@ class Simulation:
         self.epsilon = float(epsilon)
         self.body = NoBody() if body is None else body
         self.mesh = mesh
-        S = tuple(n + 2 for n in dims)
-        # static band-box shape for the sparse (banded) BDIM path: the body
-        # terms are local, so the expensive blend runs on a small window that
-        # tracks the body.  Off for sharded layouts (a dynamic window would
-        # gather across shards) — pass bbox=False to disable, or an int to
-        # widen the safety margin (e.g. for sdfs whose band grows over time).
-        bbox_shape = None
-        # below ~600k cells the step is dispatch-bound and the banded path's
-        # extra window ops cost more than the traffic they save (measured on
-        # one v5e: (96,64,64) 3.6→4.4 ms banded, 1024² and 256³ win).
-        # bbox="force" bypasses the size gate (tests / unusual configs).
-        big = math.prod(dims) >= 600_000 or bbox == "force"
-        if bbox and mesh is None and body is not None and big:
-            margin = bbox if isinstance(bbox, int) and not isinstance(bbox, bool) else 3
-            bbox_shape = band_box_shape(body, S, 0.0, float(epsilon), dtype,
-                                        margin=margin)
-        self.cfg = FlowConfig(D=D, S=S, nu=float(nu), U=u_BC, g=g,
-                              perdir=tuple(perdir), exitBC=bool(exitBC),
-                              dtype=dtype, limiter=limiter, tol=float(tol),
-                              itmx=int(itmx), log=bool(log),
-                              sharded=mesh is not None, bbox_shape=bbox_shape,
-                              fixed_iters=None if fixed_iters is None
-                              else int(fixed_iters))
+        self._dims = tuple(dims)
+        self._bbox_arg = bbox
+        self._banded_levels = bool(banded_levels)
+        self._cfg_kw = dict(D=D, S=tuple(n + 2 for n in dims), nu=float(nu),
+                            U=u_BC, g=g, perdir=tuple(perdir),
+                            exitBC=bool(exitBC), dtype=dtype, limiter=limiter,
+                            tol=float(tol), itmx=int(itmx), log=bool(log),
+                            sharded=mesh is not None,
+                            fixed_iters=None if fixed_iters is None
+                            else int(fixed_iters))
         if mesh is not None:
             from .parallel.mesh import constrain_state, constrain_levels
-            _cs = lambda s: constrain_state(s, mesh)
-            _cl = lambda l: constrain_levels(l, mesh)
+            self._cs = lambda s: constrain_state(s, mesh)
+            self._cl = lambda l: constrain_levels(l, mesh)
         else:
-            _cs = _cl = lambda x: x
-        self._cs, self._cl = _cs, _cl
+            self._cs = self._cl = lambda x: x
+        self._build_programs()
+
         # one jitted program for the whole construction: initial condition,
         # BDIM rasterization and the multigrid level stack.  (Eager
         # construction would dispatch hundreds of individually-compiled ops —
         # pathological on remote-compile TPU runtimes.)
-        cfg0, body0, eps0 = self.cfg, self.body, self.epsilon
-        # The banded *Poisson* operator trades coefficient reads for per-
-        # smoother-iteration window fix-ups (full-array dynamic updates) —
-        # measured 2.4x SLOWER than the dense blocked path at 256^3, so it
-        # is opt-in.  The banded BDIM blend and narrow-band remeasure (once
-        # per step, not per solver iteration) stay on whenever bbox is set.
-        lv_box0 = bbox_shape if banded_levels else None
-        self._lv_box = lv_box0
-
-        def _bbox_of(d_center):
-            if cfg0.bbox_shape is None:
-                return jnp.zeros((D,), jnp.int32)
-            return band_box_start(d_center < (2.0 + eps0), cfg0.bbox_shape)
-
-        self._bbox_of = _bbox_of
-
-        def _measure_all(t):
-            """Narrow-band measurement when the body window is on (the
-            reference's d²<(2+ε)² gate, Body.jl:32-44); dense otherwise."""
-            if cfg0.bbox_shape is not None:
-                return measure_fields_banded(body0, S, t, eps0, cfg0.perdir,
-                                             cfg0.exitBC, dtype,
-                                             cfg0.bbox_shape)
-            return measure_fields(body0, S, t, eps0, cfg0.perdir,
-                                  cfg0.exitBC, dtype)
-
-        self._measure_all = _measure_all
+        cfg0, _cs, _cl, lv_box0 = self.cfg, self._cs, self._cl, self._lv_box
+        _measure_all, _bbox_of = self._measure_all, self._bbox_of
 
         def _init():
             state = flow_init(cfg0, ulam, dt)
@@ -151,7 +114,81 @@ class Simulation:
         self.pois_n = []
         self.res_log = []
 
-        cfg, eps_, body_ = self.cfg, self.epsilon, self.body
+    def _build_programs(self):
+        """(Re)build cfg and every jitted program from the current body.
+
+        Called at construction and by `set_body` — the step closures capture
+        the body at trace time, so swapping geometry must rebuild them."""
+        dtype = self._cfg_kw["dtype"]
+        S = self._cfg_kw["S"]
+        D = self._cfg_kw["D"]
+        bbox = self._bbox_arg
+        # static band-box shape for the sparse (banded) BDIM path: the body
+        # terms are local, so the expensive blend runs on a small window that
+        # tracks the body.  Off for sharded layouts (a dynamic window would
+        # gather across shards) — pass bbox=False to disable, or an int to
+        # widen the safety margin (e.g. for sdfs whose band grows over time).
+        # Below ~600k cells the step is dispatch-bound and the banded path's
+        # extra window ops cost more than the traffic they save (measured on
+        # one v5e: (96,64,64) 3.6→4.4 ms banded, 1024² and 256³ win).
+        # bbox="force" bypasses the size gate (tests / unusual configs).
+        bbox_shape = None
+        big = math.prod(self._dims) >= 600_000 or bbox == "force"
+        if (bbox and self.mesh is None and big
+                and not isinstance(self.body, NoBody)):
+            margin = (bbox if isinstance(bbox, int)
+                      and not isinstance(bbox, bool) else 3)
+            bbox_shape = band_box_shape(self.body, S, 0.0, self.epsilon,
+                                        dtype, margin=margin)
+        self.cfg = FlowConfig(**self._cfg_kw, bbox_shape=bbox_shape)
+        # The banded *Poisson* operator trades coefficient reads for per-
+        # smoother-iteration window fix-ups (full-array dynamic updates) —
+        # measured 2.4x SLOWER than the dense blocked path at 256^3, so it
+        # is opt-in.  The banded BDIM blend and narrow-band remeasure (once
+        # per step, not per solver iteration) stay on whenever bbox is set.
+        lv_box0 = bbox_shape if self._banded_levels else None
+        self._lv_box = lv_box0
+        cfg, body0, eps0 = self.cfg, self.body, self.epsilon
+        _cs, _cl = self._cs, self._cl
+
+        def _bbox_of(d_center):
+            if cfg.bbox_shape is None:
+                return jnp.zeros((D,), jnp.int32)
+            return band_box_start(d_center < (2.0 + eps0), cfg.bbox_shape)
+
+        self._bbox_of = _bbox_of
+
+        def _band_covered(d_center, bb):
+            """True iff every band cell lies inside the static window.
+
+            The window *shape* is sized at t=0 (+margin); a body whose band
+            grows past it (deforming sdf, band splitting across a periodic
+            boundary) would silently get far-field constants outside the
+            window — this is surfaced as a hard error by the stepping loop.
+            """
+            if cfg.bbox_shape is None:
+                return jnp.bool_(True)
+            band = d_center < (2.0 + eps0)
+            inw = None
+            for d in range(D):
+                k = jax.lax.broadcasted_iota(jnp.int32, S, d)
+                m = (k >= bb[d] + 1) & (k < bb[d] + 1 + cfg.bbox_shape[d])
+                inw = m if inw is None else inw & m
+            return ~jnp.any(band & ~inw)
+
+        self._band_covered = _band_covered
+
+        def _measure_all(t):
+            """Narrow-band measurement when the body window is on (the
+            reference's d²<(2+ε)² gate, Body.jl:32-44); dense otherwise."""
+            if cfg.bbox_shape is not None:
+                return measure_fields_banded(body0, S, t, eps0, cfg.perdir,
+                                             cfg.exitBC, dtype,
+                                             cfg.bbox_shape)
+            return measure_fields(body0, S, t, eps0, cfg.perdir,
+                                  cfg.exitBC, dtype)
+
+        self._measure_all = _measure_all
 
         def step_static(state, levels):
             state, levels = _cs(state), _cl(levels)
@@ -166,6 +203,7 @@ class Simulation:
             levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded,
                                       lv_box0, bb))
             new, aux = mom_step(cfg, levels, state)
+            aux["band_ok"] = _band_covered(dc, bb)
             return _cs(new), aux
 
         self._step_static = jax.jit(step_static)
@@ -180,7 +218,8 @@ class Simulation:
             fn = step_remeasure if remeasure else step_static
             def body_fn(s, _):
                 s, aux = fn(s, levels)
-                return s, aux["pois_n"]
+                return s, (aux["pois_n"],
+                           aux.get("band_ok", jnp.bool_(True)))
             return jax.lax.scan(body_fn, state, None, length=n)
 
         # donate the carried state: XLA reuses its buffers in place, halving
@@ -197,6 +236,19 @@ class Simulation:
         # final fetch).  Raise this cell-count threshold to re-enable the
         # on-device scan below it (e.g. healthy local backends).
         self._loop_threshold = 0
+
+    def set_body(self, body):
+        """Replace the immersed geometry and rebuild the jitted programs.
+
+        The step closures capture the body at trace time, so plain attribute
+        assignment would silently keep simulating the old geometry; this is
+        the supported way to swap bodies mid-run (then re-measures at the
+        current time, reference `measure!(sim)` semantics)."""
+        self.body = NoBody() if body is None else body
+        self._build_programs()
+        if not isinstance(self.body, NoBody):
+            self.measure()
+        return self
 
     # -- observability -----------------------------------------------------
 
@@ -229,9 +281,16 @@ class Simulation:
         V, m0, m1, bb, self.levels = jax.jit(_measure)(jnp.asarray(t, cfg.dtype))
         self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
 
+    _BAND_ERR = ("body band outgrew its static window: the d<2+eps region "
+                 "is no longer covered by cfg.bbox_shape (sized at t=0). "
+                 "Widen the margin (Simulation(bbox=<margin cells>)) or "
+                 "disable the banded path (bbox=False).")
+
     def _record(self, aux):
         self.dts.append(float(self.flow.dt))
         self.pois_n.append(np.asarray(aux["pois_n"]))
+        if "band_ok" in aux and not bool(aux["band_ok"]):
+            raise RuntimeError(self._BAND_ERR)
         if self.cfg.log:
             self.res_log.append(np.asarray(aux["res_trace"]))
 
@@ -264,20 +323,29 @@ class Simulation:
         donated single-step program in an async host loop (same zero-sync
         semantics — dispatch never blocks — but avoids the scan carry
         copies that cripple multi-GB states on remote-tunnel runtimes)."""
+        if int(n) <= 0:
+            return self
         remeasure = remeasure and not isinstance(self.body, NoBody)
+        oks = None
         if math.prod(self.cfg.S) >= self._loop_threshold:
             fn = self._step_remeasure_d if remeasure else self._step_static_d
-            rows = []
+            rows, ok_rows = [], []
             for _ in range(int(n)):
                 self.flow, aux = fn(self.flow, self.levels)
                 rows.append(aux["pois_n"])
+                if "band_ok" in aux:
+                    ok_rows.append(aux["band_ok"])
             pois_n = jnp.stack(rows)
+            if ok_rows:
+                oks = jnp.stack(ok_rows)
         else:
-            self.flow, pois_n = self._scan_steps(self.flow, self.levels,
-                                                 int(n), bool(remeasure))
+            self.flow, (pois_n, oks) = self._scan_steps(
+                self.flow, self.levels, int(n), bool(remeasure))
         # reconstruct host history lazily (single device sync)
         for row in np.asarray(pois_n):
             self.pois_n.append(row)
+        if oks is not None and not bool(jnp.all(oks)):
+            raise RuntimeError(self._BAND_ERR)
         self.dts.append(float(self.flow.dt))
         return self
 
