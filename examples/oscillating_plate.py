@@ -3,6 +3,10 @@ path (remeasure=True), exercising the autodiff body velocity.
 
 Run:  python examples/oscillating_plate.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from waterlily_tpu.models.cases import oscillating_plate_2d

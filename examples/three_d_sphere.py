@@ -3,6 +3,10 @@
 
 Run:  python examples/three_d_sphere.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -3,6 +3,10 @@
 
 Run:  python examples/two_d_circle.py [--gif]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 import jax
