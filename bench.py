@@ -102,6 +102,38 @@ def moving_256():
     }
 
 
+def circle_2d_wall():
+    """Reference's own 2D benchmark: circle (96,64) to tU/L=50 vs ~28 s on
+    an 8-thread CPU (README.md:133-137, BASELINE.md)."""
+    from waterlily_tpu.models.cases import circle_2d
+    sim = circle_2d(n=96, m=64, Re=100, dtype=jnp.float32)
+    sim.steps(50, remeasure=False)
+    jax.block_until_ready(sim.flow.u)
+    n0 = len(sim.pois_n)
+    t0 = time.perf_counter()
+    sim.run_until(50.0, chunk=100, remeasure=False)
+    jax.block_until_ready(sim.flow.u)
+    wall = time.perf_counter() - t0
+    return {
+        "metric": "2D circle (96,64) f32 to tU/L=50: wall s",
+        "value": round(wall, 2), "unit": "s",
+        "steps": len(sim.pois_n) - n0,
+        "vs_baseline": round(28.0 / wall, 2),  # reference 8-thread CPU
+    }
+
+
+def small_config(name, make, remeasure=False, warm=30, steps=100):
+    sim = make()
+    spp = _steady_step_time(sim, warm=warm, steps=steps, remeasure=remeasure)
+    cells = 1
+    for s in sim.cfg.S:
+        cells *= s - 2
+    return {
+        "metric": name, "value": round(spp * 1e3, 3), "unit": "ms/step",
+        "mlups": round(cells / spp / 1e6, 1),
+    }
+
+
 def main():
     quick = "--quick" in sys.argv
     from waterlily_tpu.utils.cache import enable_compile_cache
@@ -109,16 +141,28 @@ def main():
 
     out = headline(quick)
     if not quick:
+        from waterlily_tpu.models.cases import (tgv_2d, donut_3d,
+                                                oscillating_plate_2d)
         secondary = []
-        try:
-            _, s256 = sphere_256()
-            secondary.append(s256)
-        except Exception as e:  # never lose the headline to a secondary
-            secondary.append({"metric": "3D sphere 256^3", "error": repr(e)})
-        try:
-            secondary.append(moving_256())
-        except Exception as e:
-            secondary.append({"metric": "256^3 remeasure", "error": repr(e)})
+        # the full BASELINE.md benchmark set, recorded every round
+        runs = [
+            ("3D sphere 256^3", lambda: sphere_256()[1]),
+            ("256^3 remeasure", moving_256),
+            ("2D circle wall", circle_2d_wall),
+            ("2D TGV 64^2", lambda: small_config(
+                "2D Taylor-Green 64^2 periodic: ms/step", tgv_2d)),
+            ("2D osc plate", lambda: small_config(
+                "2D oscillating plate (130^2) remeasure: ms/step",
+                oscillating_plate_2d, remeasure=True, warm=20, steps=60)),
+            ("3D donut", lambda: small_config(
+                "3D donut (128,64,64): ms/step", donut_3d,
+                warm=20, steps=60)),
+        ]
+        for name, fn in runs:
+            try:
+                secondary.append(fn())
+            except Exception as e:  # never lose the headline to a secondary
+                secondary.append({"metric": name, "error": repr(e)})
         out["secondary"] = secondary
     print(json.dumps(out))
 
