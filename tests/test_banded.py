@@ -130,6 +130,21 @@ def test_banded_matches_dense_sphere_3d():
     assert _max_diff(a, b) < 1e-3
 
 
+def test_banded_matches_dense_heaving_3d():
+    """3D moving body under the full banded stack (windowed BDIM + narrow-
+    band remeasure, dense levels — the 256^3 benchmark configuration)."""
+    from waterlily_tpu.models.cases import heaving_sphere_3d
+    a = heaving_sphere_3d(radius=12, amp=4, Re=100, bbox="force")
+    b = heaving_sphere_3d(radius=12, amp=4, Re=100, bbox=False)
+    assert a.cfg.bbox_shape is not None
+    for _ in range(3):
+        a.step(remeasure=True)
+        b.step(remeasure=True)
+    assert float(jnp.max(jnp.abs(a.flow.u - b.flow.u))) < 1e-3
+    assert float(jnp.max(jnp.abs(a.flow.mu0 - b.flow.mu0))) == 0.0
+    assert all((x == y).all() for x, y in zip(a.pois_n, b.pois_n))
+
+
 def test_banded_box_tracks_moving_body():
     """The window corner must follow the body under remeasure."""
     L = 24
