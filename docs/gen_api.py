@@ -26,6 +26,7 @@ MODULES = [
     "waterlily_tpu.ops.pallas_stencil",
     "waterlily_tpu.ops.pallas_kernels",
     "waterlily_tpu.parallel.mesh",
+    "waterlily_tpu.parallel.halo",
     "waterlily_tpu.models.cases",
     "waterlily_tpu.io.checkpoint",
     "waterlily_tpu.io.vtk",

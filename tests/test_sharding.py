@@ -126,6 +126,24 @@ def test_mesh_for_divides_axes():
     assert dict(zip(m.axis_names, m.devices.shape)) == {"x": 4, "y": 2}
 
 
+@pytest.mark.parametrize("S", [(32, 32), (16, 32, 16)])
+def test_shardmap_mult_matches_dense(S):
+    """The explicit shard_map + ppermute halo-exchange operator equals the
+    dense Poisson mult (the ICI-visible alternative to the GSPMD path)."""
+    from waterlily_tpu.parallel.halo import shardmap_mult
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.poisson import make_level, mult
+    key = jax.random.PRNGKey(3)
+    D = len(S)
+    L = jnp.abs(jax.random.normal(key, (D,) + S, f32))
+    lev = make_level(L)
+    x = jax.random.normal(key, S, f32)
+    z_ref = mult(lev, x)
+    mesh = mesh_for(S, 8)
+    z = shardmap_mult(mesh, lev.L, lev.D, x)
+    assert np.allclose(np.asarray(z_ref), np.asarray(z), atol=1e-5)
+
+
 def test_replica_axis_mesh_matches_single():
     """A mesh with a non-dividing remainder gets a replica axis "r" that is
     never assigned to a spatial dim; the step still matches single-device."""

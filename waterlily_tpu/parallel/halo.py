@@ -1,0 +1,130 @@
+"""Explicit-collective spatial decomposition: shard_map + ppermute halos.
+
+The production scaling path (`parallel.mesh`) relies on GSPMD: fields are
+annotated and XLA's SPMD partitioner inserts the halo exchanges.  This
+module is the *explicit* alternative — `shard_map` gives each device its
+local block and the halo planes move through hand-written
+`jax.lax.ppermute` collectives.  Two reasons it exists:
+
+1. **Control.**  When the partitioner picks a bad layout (see the
+   all-gather fallbacks documented in docs/PERF.md), the explicit path is
+   the escape hatch: every byte on ICI is visible in the source.
+2. **Verification.**  `tests/test_sharding.py` pins it against the dense
+   operator, which in turn documents precisely what communication the
+   stencil *needs*: one width-1 plane per sharded axis per application.
+
+The grid must shard evenly (`mesh_for` guarantees it); each local block
+then holds ``S[d] / shards[d]`` planes of the ghost-padded global array,
+and a 7-point stencil needs exactly one received plane per face.
+
+Reference scope: the reference has no distributed support at all
+(README.md:157); SURVEY.md §5.8 specifies this module's design.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..grid import axis_coord
+
+__all__ = ["halo_exchange", "shardmap_mult", "spatial_specs"]
+
+
+def spatial_specs(mesh: Mesh, D: int):
+    """(scalar, vector) PartitionSpecs mapping mesh axes onto spatial dims."""
+    names = [n for n in mesh.axis_names if n != "r"]
+    dims = [names[k] if k < len(names) else None for k in range(D)]
+    return P(*dims), P(None, *dims)
+
+
+def _axis_shards(mesh: Mesh, D: int):
+    names = [n for n in mesh.axis_names if n != "r"]
+    return ([(names[k], mesh.shape[names[k]]) if k < len(names) else (None, 1)
+             for k in range(D)])
+
+
+def halo_exchange(x_local, mesh: Mesh, D: int):
+    """Grow every spatial axis of a shard_map-local block by one plane.
+
+    Sharded axes receive the neighbouring shards' edge planes via
+    `jax.lax.ppermute` (a pure ICI ring shift — no gather); unsharded axes
+    and domain edges get zeros, which is safe because the global ghost ring
+    lives inside the first/last local block so edge halos are never read
+    for interior outputs.  Must be called inside `shard_map`.
+    """
+    lead = x_local.ndim - D
+    for k, (name, n_shards) in enumerate(_axis_shards(mesh, D)):
+        axis = lead + k
+        lo = jax.lax.slice_in_dim(x_local, 0, 1, axis=axis)
+        hi = jax.lax.slice_in_dim(x_local, x_local.shape[axis] - 1, None,
+                                  axis=axis)
+        if n_shards > 1:
+            fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
+            from_below = jax.lax.ppermute(hi, name, fwd)   # shard i-1's top
+            from_above = jax.lax.ppermute(lo, name, bwd)   # shard i+1's bottom
+            idx = jax.lax.axis_index(name)
+            from_below = jnp.where(idx == 0, 0.0, from_below)
+            from_above = jnp.where(idx == n_shards - 1, 0.0, from_above)
+        else:
+            from_below = jnp.zeros_like(lo)
+            from_above = jnp.zeros_like(hi)
+        x_local = jnp.concatenate([from_below, x_local, from_above],
+                                  axis=axis)
+    return x_local
+
+
+def shardmap_mult(mesh: Mesh, L, Dd, x):
+    """z = A·x with explicit halo exchange (matches `ops.poisson.mult` for
+    non-periodic levels on an evenly-dividing mesh).
+
+    ``L`` (D,*S), ``Dd`` (*S), ``x`` (*S) may arrive unsharded; they are
+    placed with `spatial_specs` and each device computes its block after
+    one `ppermute` round per sharded axis.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    D = x.ndim
+    S = x.shape
+    ax = _axis_shards(mesh, D)
+    for d in range(D):
+        if S[d] % ax[d][1] != 0:
+            raise ValueError(
+                f"axis {d}: size {S[d]} not divisible by {ax[d][1]} shards "
+                f"(build the mesh with mesh_for)")
+    sc, vec = spatial_specs(mesh, D)
+
+    def local(L_l, Dd_l, x_l):
+        loc_shape = x_l.shape
+        xh = halo_exchange(x_l, mesh, D)
+
+        def sl(a, offs, lead=0):
+            # halo'd read: local cell j sits at padded index j+1
+            return a[(slice(None),) * lead + tuple(
+                slice(1 + offs[d], 1 + offs[d] + loc_shape[d])
+                for d in range(D))]
+
+        def offv(i, v):
+            return tuple(v if d == i else 0 for d in range(D))
+
+        z = x_l * Dd_l
+        for i in range(D):
+            Lh = halo_exchange(L_l[i], mesh, D)
+            z = (z + sl(xh, offv(i, -1)) * L_l[i]
+                 + sl(xh, offv(i, +1)) * sl(Lh, offv(i, +1)))
+        # zero the global ghost ring (cells at global index 0 or S-1)
+        m = None
+        for d in range(D):
+            name, k = ax[d]
+            base = (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
+            g = axis_coord(loc_shape, d) + base
+            md = (g >= 1) & (g <= S[d] - 2)
+            m = md if m is None else m & md
+        return jnp.where(m, z, 0.0)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(vec, sc, sc), out_specs=sc)
+    L = jax.device_put(L, NamedSharding(mesh, vec))
+    Dd = jax.device_put(Dd, NamedSharding(mesh, sc))
+    x = jax.device_put(x, NamedSharding(mesh, sc))
+    return fn(L, Dd, x)
