@@ -112,3 +112,28 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
                               np.asarray(getattr(restart.flow, field))), field
     assert float(sim.flow.t) == float(restart.flow.t)
     assert sim.dts == restart.dts
+
+
+def test_checkpoint_orbax_sharded_state(tmp_path):
+    """Orbax saves/restores a spatially-sharded simulation (the multi-chip
+    checkpointing path the npz container cannot provide efficiently)."""
+    pytest.importorskip("orbax.checkpoint")
+    from waterlily_tpu.io.checkpoint import (save_checkpoint_orbax,
+                                             restart_sim_orbax)
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.models.cases import sphere_3d
+
+    mesh = mesh_for((26, 18, 18), 8)
+    a = sphere_3d(n=24, m=16, dtype=f32, mesh=mesh)
+    a.steps(2, remeasure=True)
+    path = str(tmp_path / "orbax_sharded")
+    save_checkpoint_orbax(path, a)
+
+    b = sphere_3d(n=24, m=16, dtype=f32, mesh=mesh)
+    restart_sim_orbax(b, path)
+    for field in ("u", "p", "mu0"):
+        assert np.allclose(np.asarray(getattr(a.flow, field)),
+                           np.asarray(getattr(b.flow, field)), atol=0), field
+    a.steps(2, remeasure=True)
+    b.steps(2, remeasure=True)
+    assert np.allclose(np.asarray(a.flow.u), np.asarray(b.flow.u), atol=1e-6)

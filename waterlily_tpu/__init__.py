@@ -15,8 +15,8 @@ stencils.
 from .grid import l2, linf, interp, apply_field, loc_grid, shift, interior
 from .flow import FlowState, FlowConfig, mom_step, flow_init, cfl, div
 from .ops import (bc_vector, bc_scalar_periodic, exit_bc, conv_diff, quick,
-                  vanleer, make_level, poisson_solve, build_levels, ml_solve,
-                  mult, residual)
+                  vanleer, PoissonLevel, make_level, poisson_solve,
+                  build_levels, ml_solve, mult, residual)
 from .body import (AbstractBody, AutoBody, Bodies, NoBody, measure, sdf,
                    measure_fields, measure_sdf, kern, kern0, kern1, mu0 as mu0_kern,
                    mu1 as mu1_kern, curvature)
