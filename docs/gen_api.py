@@ -37,10 +37,14 @@ MODULES = [
 
 
 def _sig(obj):
+    import re
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # strip memory addresses from default-value reprs: they differ between
+    # runs and would churn the committed file on every regeneration
+    return re.sub(r" at 0x[0-9a-f]+", "", sig)
 
 
 def render(mod) -> list[str]:

@@ -131,6 +131,11 @@ def test_checkpoint_orbax_sharded_state(tmp_path):
 
     b = sphere_3d(n=24, m=16, dtype=f32, mesh=mesh)
     restart_sim_orbax(b, path)
+    # the field leaves must come back *sharded* (restored per-shard onto
+    # their spatial layout, not materialised whole then re-split)
+    from waterlily_tpu.parallel.mesh import state_specs
+    assert b.flow.u.sharding == state_specs(mesh, 3).u
+    assert b.flow.p.sharding == state_specs(mesh, 3).p
     for field in ("u", "p", "mu0"):
         assert np.allclose(np.asarray(getattr(a.flow, field)),
                            np.asarray(getattr(b.flow, field)), atol=0), field

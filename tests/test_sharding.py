@@ -126,10 +126,15 @@ def test_mesh_for_divides_axes():
     assert dict(zip(m.axis_names, m.devices.shape)) == {"x": 4, "y": 2}
 
 
-@pytest.mark.parametrize("S", [(32, 32), (16, 32, 16)])
-def test_shardmap_mult_matches_dense(S):
+@pytest.mark.parametrize("S,axes", [
+    ((32, 32), None),            # mesh_for -> single 8-way axis
+    ((16, 32), ("x", "y")),      # 2-axis (2,4) mesh
+    ((26, 18, 18), None),        # mesh_for -> (2,2,2): 3 sharded axes
+])
+def test_shardmap_mult_matches_dense(S, axes):
     """The explicit shard_map + ppermute halo-exchange operator equals the
-    dense Poisson mult (the ICI-visible alternative to the GSPMD path)."""
+    dense Poisson mult (the ICI-visible alternative to the GSPMD path) —
+    including multi-axis meshes (corner propagation + per-axis offsets)."""
     from waterlily_tpu.parallel.halo import shardmap_mult
     from waterlily_tpu.parallel.mesh import mesh_for
     from waterlily_tpu.ops.poisson import make_level, mult
@@ -139,7 +144,9 @@ def test_shardmap_mult_matches_dense(S):
     lev = make_level(L)
     x = jax.random.normal(key, S, f32)
     z_ref = mult(lev, x)
-    mesh = mesh_for(S, 8)
+    mesh = mesh_for(S, 8) if axes is None else make_mesh(8, axes=axes)
+    if axes is None and len(S) == 3:
+        assert len([n for n in mesh.axis_names if n != "r"]) == 3
     z = shardmap_mult(mesh, lev.L, lev.D, x)
     assert np.allclose(np.asarray(z_ref), np.asarray(z), atol=1e-5)
 

@@ -107,10 +107,28 @@ def save_checkpoint_orbax(path: str, sim) -> None:
 
 
 def restart_sim_orbax(sim, path: str):
-    """Restore a Simulation in place from an Orbax checkpoint."""
+    """Restore a Simulation in place from an Orbax checkpoint.
+
+    For a sharded sim the field leaves are restored *directly onto their
+    spatial shardings* (per-shard reads — no full-array materialisation on
+    one host), via an abstract target pytree."""
+    import jax
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    data = ckptr.restore(path)
+    if sim.cfg.sharded and sim.mesh is not None:
+        from ..parallel.mesh import state_specs
+        D = len(sim.cfg.S)
+        specs = state_specs(sim.mesh, D)._asdict()
+        meta = ckptr.metadata(path).item_metadata
+
+        def _abstract(k, m):
+            sh = specs.get(k)
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh)
+
+        target = {k: _abstract(k, m) for k, m in dict(meta).items()}
+        data = ckptr.restore(path, target)
+    else:
+        data = ckptr.restore(path)
     if tuple(data["p"].shape) != sim.cfg.S:
         raise ValueError(
             f"checkpoint grid {data['p'].shape} != sim grid {sim.cfg.S}")

@@ -11,7 +11,8 @@ local block and the halo planes move through hand-written
    the escape hatch: every byte on ICI is visible in the source.
 2. **Verification.**  `tests/test_sharding.py` pins it against the dense
    operator, which in turn documents precisely what communication the
-   stencil *needs*: one width-1 plane per sharded axis per application.
+   stencil *needs*: two width-1 planes of ``x`` per sharded axis (one per
+   direction) plus one upper plane of each face-coefficient component.
 
 The grid must shard evenly (`mesh_for` guarantees it); each local block
 then holds ``S[d] / shards[d]`` planes of the ghost-padded global array,
@@ -32,10 +33,13 @@ __all__ = ["halo_exchange", "shardmap_mult", "spatial_specs"]
 
 
 def spatial_specs(mesh: Mesh, D: int):
-    """(scalar, vector) PartitionSpecs mapping mesh axes onto spatial dims."""
-    names = [n for n in mesh.axis_names if n != "r"]
-    dims = [names[k] if k < len(names) else None for k in range(D)]
-    return P(*dims), P(None, *dims)
+    """(scalar, vector) PartitionSpecs mapping mesh axes onto spatial dims.
+
+    Delegates to the GSPMD path's `_spatial_spec` so the axis→dim mapping
+    convention (positional, skipping the replica axis "r") lives in exactly
+    one place."""
+    from .mesh import _spatial_spec
+    return _spatial_spec(mesh, D, 0), _spatial_spec(mesh, D, 1)
 
 
 def _axis_shards(mesh: Mesh, D: int):
@@ -95,6 +99,24 @@ def shardmap_mult(mesh: Mesh, L, Dd, x):
                 f"(build the mesh with mesh_for)")
     sc, vec = spatial_specs(mesh, D)
 
+    def shift_up(a, d):
+        """a_global[j+1] along axis d: local shift + ONE received plane.
+
+        The only L communication the stencil needs — the upper-face
+        coefficient — so each component costs a single ppermute (the
+        appended top plane is zero on the last shard / unsharded axes,
+        where it only feeds masked global-ghost outputs)."""
+        name, k = ax[d]
+        lo = jax.lax.slice_in_dim(a, 0, 1, axis=d)
+        if k > 1:
+            bwd = [((i + 1) % k, i) for i in range(k)]
+            recv = jax.lax.ppermute(lo, name, bwd)
+            recv = jnp.where(jax.lax.axis_index(name) == k - 1, 0.0, recv)
+        else:
+            recv = jnp.zeros_like(lo)
+        rest = jax.lax.slice_in_dim(a, 1, None, axis=d)
+        return jnp.concatenate([rest, recv], axis=d)
+
     def local(L_l, Dd_l, x_l):
         loc_shape = x_l.shape
         xh = halo_exchange(x_l, mesh, D)
@@ -110,9 +132,8 @@ def shardmap_mult(mesh: Mesh, L, Dd, x):
 
         z = x_l * Dd_l
         for i in range(D):
-            Lh = halo_exchange(L_l[i], mesh, D)
             z = (z + sl(xh, offv(i, -1)) * L_l[i]
-                 + sl(xh, offv(i, +1)) * sl(Lh, offv(i, +1)))
+                 + sl(xh, offv(i, +1)) * shift_up(L_l[i], i))
         # zero the global ghost ring (cells at global index 0 or S-1)
         m = None
         for d in range(D):
