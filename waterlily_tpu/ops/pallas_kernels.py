@@ -141,8 +141,13 @@ def pcg_pallas(lev, x, r, it: int = 6, interpret: bool = False):
     return out
 
 
-# VMEM budget for the single-block kernel (v5e/v5p have ~16 MiB usable)
-VMEM_LIMIT = 12 * 1024 * 1024
+# Budget for the single-block kernel, in units of the (conservative)
+# `vmem_bytes_for_pcg` estimate.  Empirically the estimate overshoots the
+# true working set by ~1.7x, so 24 MB here corresponds to ~14 MB real VMEM
+# (v5e/v5p have ~16 MiB usable; a 90 MB-estimate kernel fails to compile).
+# Measured on the (96,64,64) sphere: fusing the (50,34,34) level's PCG at
+# this limit halves the whole step (5.2 -> 2.5 ms).
+VMEM_LIMIT = 24 * 1024 * 1024
 
 
 def pcg_auto(lev, x, r, it: int = 6, xla_pcg=None):
