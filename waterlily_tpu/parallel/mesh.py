@@ -84,6 +84,11 @@ def mesh_for(S: tuple, n: int | None = None, devices=None) -> Mesh:
     if rem > 1:
         dims.append(rem)
         axes.append("r")
+    if not dims:
+        # single device (or nothing divided): a trivial size-1 axis keeps
+        # the Mesh non-empty — with_sharding_constraint rejects shardings
+        # over an axis-less mesh, and a 1-sized axis shards nothing
+        dims, axes = [1], ["x"]
     return Mesh(np.asarray(devices).reshape(dims), tuple(axes))
 
 
