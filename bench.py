@@ -67,6 +67,8 @@ def headline(quick):
                   + (" [quick]" if quick else ""),
         "value": round(mlups, 2),
         "unit": "MLUPS",
+        "baseline": "reference ~40 s on 1 NVIDIA GPU (README.md:128-131), "
+                    "pro-rated to the timed span",
         "vs_baseline": round(REFERENCE_WALL_S * scale / wall, 3),
         "wall_s": round(wall, 2),
         "steps": steps,
@@ -87,6 +89,7 @@ def sphere_256():
         "unit": "ms/step",
         "mlups": round(cells / spp / 1e6, 1),
         "ns_per_dof": round(ns_dof, 3),
+        "baseline": "reference published GPU cost 1.44 ns/DOF (README.md:111)",
         "vs_baseline": round(REFERENCE_NS_PER_DOF / ns_dof, 3),
     }
 
@@ -102,9 +105,11 @@ def moving_256():
         "value": round(spp * 1e3, 2),
         "unit": "ms/step",
         "mlups": round(254 ** 3 / spp / 1e6, 1),
-        # same config with the body frozen: the pure re-measurement overhead;
-        # >0.67 meets the <=1.5x-of-static target
-        "vs_baseline": round(frozen / spp, 3),
+        # SELF-ratio, not a reference comparison: the same config with the
+        # body frozen measures the pure re-measurement overhead.
+        # remeasure_over_static <= 1.5 is the target.
+        "baseline": "self: same config with frozen body (no remeasure)",
+        "remeasure_over_static": round(spp / frozen, 3),
     }
 
 
@@ -128,7 +133,9 @@ def circle_2d_wall():
         "metric": "2D circle (96,64) f32 to tU/L=50: wall s",
         "value": round(wall, 2), "unit": "s",
         "steps": len(sim.pois_n) - n0,
-        "vs_baseline": round(base / wall, 2),  # reference 8-thread CPU
+        "baseline": "reference ~28 s on 8-thread CPU (README.md:133-137), "
+                    "pro-rated to the timed span",
+        "vs_baseline": round(base / wall, 2),
     }
 
 
@@ -141,6 +148,8 @@ def small_config(name, make, remeasure=False, warm=30, steps=100):
     return {
         "metric": name, "value": round(spp * 1e3, 3), "unit": "ms/step",
         "mlups": round(cells / spp / 1e6, 1),
+        "baseline": "none (no reference number for this config; "
+                    "tracked round-over-round)",
     }
 
 

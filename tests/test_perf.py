@@ -66,3 +66,23 @@ def test_scan_steps_single_compile():
     sim2.steps(2, remeasure=False)
     assert sim2._scan_steps._cache_size() == 1
     assert np.allclose(ref, np.asarray(sim2.flow.u), atol=1e-6)
+
+
+def test_dts_complete_on_every_path():
+    """Invariant: len(sim.dts) == total_steps + 1 (the initial dt plus one
+    per completed step) on step(), steps() and the scan path — reference
+    semantics: flow.Δt carries the FULL history (src/Flow.jl:105,168)."""
+    sim = plate_sim()
+    sim.step(remeasure=False)
+    sim.steps(3, remeasure=False)
+    assert len(sim.dts) == 4 + 1
+    sim2 = plate_sim()
+    sim2._loop_threshold = 10 ** 12  # force the scan path
+    sim2.steps(4, remeasure=False)
+    assert len(sim2.dts) == 4 + 1
+    # the histories agree step-by-step, not just in length
+    assert np.allclose(sim.dts, sim2.dts, atol=1e-6)
+    # remeasure path too
+    sim3 = plate_sim()
+    sim3.steps(2, remeasure=True)
+    assert len(sim3.dts) == 2 + 1

@@ -218,7 +218,7 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
 
     dt_new = cfl(u, cfg.nu)
     new = state._replace(u=u, p=p, dt=dt_new, t=t + dt)
-    aux = {"pois_n": jnp.stack([n1, n2])}
+    aux = {"pois_n": jnp.stack([n1, n2]), "dt": dt_new}
     if cfg.log:
         aux["res_trace"] = jnp.stack([tr1, tr2])
     return new, aux

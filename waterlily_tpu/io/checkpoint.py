@@ -115,23 +115,26 @@ def restart_sim_orbax(sim, path: str):
     import jax
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
+    meta = dict(ckptr.metadata(path).item_metadata)
+    # validate the grid BEFORE the (possibly sharded, abstract-target)
+    # restore and any banded-bbox sdf recompute — a mismatch should fail
+    # with the same up-front ValueError the npz path gives
+    if tuple(meta["p"].shape) != sim.cfg.S:
+        raise ValueError(
+            f"checkpoint grid {tuple(meta['p'].shape)} != sim grid {sim.cfg.S}")
     if sim.cfg.sharded and sim.mesh is not None:
         from ..parallel.mesh import state_specs
         D = len(sim.cfg.S)
         specs = state_specs(sim.mesh, D)._asdict()
-        meta = ckptr.metadata(path).item_metadata
 
         def _abstract(k, m):
             sh = specs.get(k)
             return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh)
 
-        target = {k: _abstract(k, m) for k, m in dict(meta).items()}
+        target = {k: _abstract(k, m) for k, m in meta.items()}
         data = ckptr.restore(path, target)
     else:
         data = ckptr.restore(path)
-    if tuple(data["p"].shape) != sim.cfg.S:
-        raise ValueError(
-            f"checkpoint grid {data['p'].shape} != sim grid {sim.cfg.S}")
     dtype = sim.cfg.dtype
     D = len(sim.cfg.S)
     sim.flow = FlowState(

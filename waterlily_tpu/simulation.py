@@ -114,11 +114,14 @@ class Simulation:
         self.pois_n = []
         self.res_log = []
 
-    def _build_programs(self):
+    def _build_programs(self, t0=0.0):
         """(Re)build cfg and every jitted program from the current body.
 
         Called at construction and by `set_body` — the step closures capture
-        the body at trace time, so swapping geometry must rebuild them."""
+        the body at trace time, so swapping geometry must rebuild them.
+        ``t0`` is the time at which the band window is sized (`set_body`
+        passes the current sim time so a mid-run swap doesn't size the
+        window from the new body's t=0 extent)."""
         dtype = self._cfg_kw["dtype"]
         S = self._cfg_kw["S"]
         D = self._cfg_kw["D"]
@@ -138,7 +141,7 @@ class Simulation:
                 and not isinstance(self.body, NoBody)):
             margin = (bbox if isinstance(bbox, int)
                       and not isinstance(bbox, bool) else 3)
-            bbox_shape = band_box_shape(self.body, S, 0.0, self.epsilon,
+            bbox_shape = band_box_shape(self.body, S, float(t0), self.epsilon,
                                         dtype, margin=margin)
         self.cfg = FlowConfig(**self._cfg_kw, bbox_shape=bbox_shape)
         # The banded *Poisson* operator trades coefficient reads for per-
@@ -218,7 +221,7 @@ class Simulation:
             fn = step_remeasure if remeasure else step_static
             def body_fn(s, _):
                 s, aux = fn(s, levels)
-                return s, (aux["pois_n"],
+                return s, (aux["pois_n"], aux["dt"],
                            aux.get("band_ok", jnp.bool_(True)))
             return jax.lax.scan(body_fn, state, None, length=n)
 
@@ -245,7 +248,7 @@ class Simulation:
         the supported way to swap bodies mid-run (then re-measures at the
         current time, reference `measure!(sim)` semantics)."""
         self.body = NoBody() if body is None else body
-        self._build_programs()
+        self._build_programs(t0=float(self.flow.t) + float(self.flow.dt))
         if not isinstance(self.body, NoBody):
             self.measure()
         return self
@@ -274,17 +277,22 @@ class Simulation:
         def _measure(t):
             V, m0, m1, dc = self._measure_all(t)
             bb = self._bbox_of(dc)
-            return (V, m0, m1, bb,
+            return (V, m0, m1, bb, self._band_covered(dc, bb),
                     self._cl(build_levels(m0, cfg.perdir, cfg.sharded,
                                           self._lv_box, bb)))
 
-        V, m0, m1, bb, self.levels = jax.jit(_measure)(jnp.asarray(t, cfg.dtype))
+        V, m0, m1, bb, ok, self.levels = jax.jit(_measure)(
+            jnp.asarray(t, cfg.dtype))
+        if not bool(ok):
+            raise RuntimeError(self._BAND_ERR)
         self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
 
     _BAND_ERR = ("body band outgrew its static window: the d<2+eps region "
                  "is no longer covered by cfg.bbox_shape (sized at t=0). "
                  "Widen the margin (Simulation(bbox=<margin cells>)) or "
-                 "disable the banded path (bbox=False).")
+                 "disable the banded path (bbox=False). Steps taken after "
+                 "the band escaped ran on truncated physics — the current "
+                 "state is NOT trustworthy; restart from a checkpoint.")
 
     def _record(self, aux):
         self.dts.append(float(self.flow.dt))
@@ -319,34 +327,45 @@ class Simulation:
         """Advance ``n`` steps with no host sync until the final state is
         fetched — the benchmarking fast path.
 
-        Small grids run one on-device `lax.scan`; large grids drive the
-        donated single-step program in an async host loop (same zero-sync
-        semantics — dispatch never blocks — but avoids the scan carry
-        copies that cripple multi-GB states on remote-tunnel runtimes)."""
+        By default every grid drives the donated single-step program in an
+        async host loop (zero-sync semantics — dispatch never blocks — and
+        it avoids the scan carry copies that cripple multi-GB states on
+        remote-tunnel runtimes; measured same-session at 256³: 86 ms/step
+        host-driven vs 540+ ms scanned).  Grids below ``_loop_threshold``
+        cells run one on-device `lax.scan` instead — the default threshold
+        is set from same-session A/B measurements in docs/PERF.md."""
         if int(n) <= 0:
             return self
         remeasure = remeasure and not isinstance(self.body, NoBody)
         oks = None
         if math.prod(self.cfg.S) >= self._loop_threshold:
             fn = self._step_remeasure_d if remeasure else self._step_static_d
-            rows, ok_rows = [], []
-            for _ in range(int(n)):
+            rows, dt_rows, ok_rows = [], [], []
+            for k in range(int(n)):
                 self.flow, aux = fn(self.flow, self.levels)
                 rows.append(aux["pois_n"])
+                dt_rows.append(aux["dt"])
                 if "band_ok" in aux:
                     ok_rows.append(aux["band_ok"])
+                    # periodic coverage check (one scalar sync per 32 steps):
+                    # without it a band that outgrows its window would run
+                    # every remaining step of the batch on truncated physics
+                    if k % 32 == 31 and not bool(aux["band_ok"]):
+                        raise RuntimeError(self._BAND_ERR)
             pois_n = jnp.stack(rows)
+            dts = jnp.stack(dt_rows)
             if ok_rows:
                 oks = jnp.stack(ok_rows)
         else:
-            self.flow, (pois_n, oks) = self._scan_steps(
+            self.flow, (pois_n, dts, oks) = self._scan_steps(
                 self.flow, self.levels, int(n), bool(remeasure))
         # reconstruct host history lazily (single device sync)
         for row in np.asarray(pois_n):
             self.pois_n.append(row)
+        for dt in np.asarray(dts):
+            self.dts.append(float(dt))
         if oks is not None and not bool(jnp.all(oks)):
             raise RuntimeError(self._BAND_ERR)
-        self.dts.append(float(self.flow.dt))
         return self
 
     def run_until(self, t_end, chunk=50, remeasure=True):
