@@ -271,14 +271,12 @@ def use_ana(S, dtype) -> bool:
 # --- blocked conv_diff (non-periodic 3D) -----------------------------------
 #
 # The QUICK flux sweeps are the other traffic-bloated op (XLA: ~224 field
-# passes).  Split by sweep axis: axes 1/2 taps are ghost-safe sublane/lane
-# rolls needing only one axis-0 halo row (for the advecting velocity's i=0
-# shift) — one kernel covers both sweeps for all components.  The axis-0
-# sweep needs ±2 halo rows, done per component to fit VMEM.  Periodic
-# directions fall back to the XLA path.
-
-
-BLOCK_CD = 1  # conv_diff slab rows: kernel temporaries dominate its VMEM
+# passes).  One all-sweeps kernel per output component: each kernel reads
+# every velocity row it needs exactly once (comp i at +-2 rows for the
+# axis-0 sweep, the advecting components at 0/+-1), so total traffic is
+# ~28 row-passes per output row vs ~38 for the earlier 4-kernel split
+# (measured 6.3 -> 3.5 ms per call at 258^3).  Periodic directions fall
+# back to the XLA path.
 
 
 def _supp(S, B, j):
@@ -296,114 +294,122 @@ def _supp(S, B, j):
     return m
 
 
-def _convj12_kernel(S, nu, limiter, dtype, u_ref, u1u_ref, u2u_ref, out_ref):
-    """Sweeps j=1,2 for all components, accumulated per-component to bound
-    the kernel's live VMEM temporaries."""
-    B = BLOCK_CD
+def _conv_comp_kernel(S, B, nu, limiter, dtype, i, bases, *refs):
+    """All three sweeps for ONE output component ``i``.
+
+    The 4-kernel split reads the velocity window once per kernel (~38
+    effective row-passes per output row at B=1); reading each needed row
+    exactly once per component cuts that to ~20-28.  Row windows arrive as
+    clamped single-row BlockSpecs concatenated here; ``bases`` maps each
+    velocity component to its window's first row offset.
+    """
+    out_ref = refs[-1]
+    wins = {}
+    k = 0
+    for c, (base, nrows) in bases.items():
+        wins[c] = jnp.concatenate([refs[k + m][0, 0:1] for m in range(nrows)],
+                                  axis=0)
+        k += nrows
+
+    def tap(c, o):
+        lo = o - bases[c][0]
+        return wins[c][lo:lo + B]
+
+    s0 = pl.program_id(0) * B
+    kf0 = s0 + jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 0)
+
+    # axis-0 sweep (needs comp i at +-2 rows)
+    if i == 1:
+        wshift0 = lambda o: _sub_roll(tap(0, o), -1)
+    elif i == 2:
+        wshift0 = lambda o: _lane_roll(tap(0, o), -1)
+    else:
+        wshift0 = lambda o: tap(0, o - 1)
+
+    def flux0(s):
+        f, fm1, fm2, fp1 = tap(i, s), tap(i, s - 1), tap(i, s - 2), tap(i, s + 1)
+        w = 0.5 * (tap(0, s) + wshift0(s))
+        cd = 0.5 * (f + fm1)
+        pos = jnp.where(kf0 + s == 1, cd, limiter(fm2, fm1, f))
+        neg = jnp.where(kf0 + s == S[0] - 1, cd, limiter(fp1, f, fm1))
+        return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+    acc = jnp.where(_supp(S, B, 0), flux0(0) - flux0(1), 0.0)
+
+    # axis-1/2 sweeps (sublane/lane rolls)
     for j in (1, 2):
         roll = _sub_roll if j == 1 else _lane_roll
         kf = jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), j)
         supp = _supp(S, B, j)
-        uj = u_ref[j]
-        uju = (u1u_ref if j == 1 else u2u_ref)[0, 0]
-        # advecting component shifted -1 along axis 0: halo row prepended
-        if B == 1:
-            ujm0 = uju[None]
+        uj = tap(j, 0)
+        if i == 0:
+            ujm0 = tap(j, -1)
+            ws = lambda o: roll(ujm0, o)
+        elif i == j:
+            ws = lambda o: roll(uj, o - 1)
+        elif i == 1:
+            ws = lambda o: _sub_roll(roll(uj, o), -1)
         else:
-            ujm0 = jnp.concatenate([uju[None], uj[:B - 1]], axis=0)
-        for i in range(3):
-            fi = u_ref[i]
-            if i == 0:
-                ws = lambda o: roll(ujm0, o)
-            elif i == j:
-                ws = lambda o: roll(uj, o - 1)
-            elif i == 1:
-                ws = lambda o: _sub_roll(roll(uj, o), -1)
-            else:
-                ws = lambda o: _lane_roll(roll(uj, o), -1)
+            ws = lambda o: _lane_roll(roll(uj, o), -1)
 
-            def flux(s):
-                f, fm1 = roll(fi, s), roll(fi, s - 1)
-                w = 0.5 * (roll(uj, s) + ws(s))
-                cd = 0.5 * (f + fm1)
-                pos = jnp.where(kf + s == 1, cd,
-                                limiter(roll(fi, s - 2), fm1, f))
-                neg = jnp.where(kf + s == S[j] - 1, cd,
-                                limiter(roll(fi, s + 1), f, fm1))
-                return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+        fi = tap(i, 0)
 
-            contrib = jnp.where(supp, flux(0) - flux(1), 0.0).astype(dtype)
-            if j == 1:
-                out_ref[i] = contrib
-            else:
-                out_ref[i] = out_ref[i] + contrib
+        def flux(s):
+            f, fm1 = roll(fi, s), roll(fi, s - 1)
+            w = 0.5 * (roll(uj, s) + ws(s))
+            cd = 0.5 * (f + fm1)
+            pos = jnp.where(kf + s == 1, cd,
+                            limiter(roll(fi, s - 2), fm1, f))
+            neg = jnp.where(kf + s == S[j] - 1, cd,
+                            limiter(roll(fi, s + 1), f, fm1))
+            return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+        acc = acc + jnp.where(supp, flux(0) - flux(1), 0.0)
+    out_ref[...] = acc.astype(dtype)
 
 
-def _convj0_kernel(S, nu, limiter, dtype, comp, fc_ref, fu2_ref, fu1_ref,
-                   fd1_ref, fd2_ref, wc_ref, wu_ref, wd_ref, r12_ref, out_ref):
-    B = BLOCK_CD
-    fe = jnp.concatenate([fu2_ref[0], fu1_ref[0], fc_ref[0], fd1_ref[0],
-                          fd2_ref[0]], axis=0)          # (B+4, S1, S2)
-    we = jnp.concatenate([wu_ref[0], wc_ref[0], wd_ref[0]], axis=0)  # (B+2,...)
-    tap = lambda o: fe[2 + o:2 + o + B]
-    tapw = lambda o: we[1 + o:1 + o + B]
-    s0 = pl.program_id(0) * B
-    kf = s0 + jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 0)
-    if comp == 1:
-        wshift_i = lambda o: _sub_roll(tapw(o), -1)
-    elif comp == 2:
-        wshift_i = lambda o: _lane_roll(tapw(o), -1)
-    else:
-        wshift_i = lambda o: tapw(o - 1)
-
-    def flux(s):
-        f, fm1, fm2, fp1 = tap(s), tap(s - 1), tap(s - 2), tap(s + 1)
-        w = 0.5 * (tapw(s) + wshift_i(s))
-        cd = 0.5 * (f + fm1)
-        pos = jnp.where(kf + s == 1, cd, limiter(fm2, fm1, f))
-        neg = jnp.where(kf + s == S[0] - 1, cd, limiter(fp1, f, fm1))
-        return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
-
-    contrib = flux(0) - flux(1)
-    out_ref[...] = (r12_ref[0]
-                    + jnp.where(_supp(S, B, 0), contrib, 0.0)).astype(dtype)
+BLOCK_CDF = 1  # B=2 exceeds the 16 MB scoped-VMEM limit at 258^3
 
 
-def conv_diff3d_pallas(u, nu, limiter, S, interpret=False):
-    """Full non-periodic conv_diff via blocked kernels (one for sweeps 1&2,
-    one per component for sweep 0), partials summed by aliased accumulation."""
+def _comp_bases(i, B):
+    """{comp: (first row offset, n rows)} needed by component ``i``."""
+    bases = {i: (-2, B + 4)}
+    if i != 0:
+        bases[0] = (0, B + 1)
+    for j in (1, 2):
+        if j != i:
+            lo = -1 if i == 0 else 0
+            bases.setdefault(j, (lo, B - lo))
+    return dict(sorted(bases.items()))
+
+
+def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
+                       block=None):
+    """Full non-periodic conv_diff: one all-sweeps kernel per component."""
     dtype = u.dtype
-    B = BLOCK_CD
+    B = BLOCK_CDF if block is None else block
     G = pl.cdiv(S[0], B)
-    up = lambda i: (jnp.maximum(i * B - 1, 0), 0, 0)
-    dn = lambda i: (jnp.minimum(i * B + B, S[0] - 1), 0, 0)
-    up2 = lambda i: (jnp.maximum(i * B - 2, 0), 0, 0)
-    dn2 = lambda i: (jnp.minimum(i * B + B + 1, S[0] - 1), 0, 0)
-    crow = lambda c, f: pl.BlockSpec((1, 1, S[1], S[2]),
-                                     lambda i, c=c, f=f: (c, *f(i)))
-    cslab = lambda c: pl.BlockSpec((1, B, S[1], S[2]), lambda i, c=c: (c, i, 0, 0))
-    slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
 
-    r12 = pl.pallas_call(
-        partial(_convj12_kernel, S, nu, limiter, dtype),
-        grid=(G,),
-        in_specs=[pl.BlockSpec((3, B, S[1], S[2]), lambda i: (0, i, 0, 0)),
-                  crow(1, up), crow(2, up)],
-        out_specs=pl.BlockSpec((3, B, S[1], S[2]), lambda i: (0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3,) + S, dtype),
-        interpret=interpret,
-    )(u, u, u)
+    def crow(c, off):
+        def f(g, c=c, off=off):
+            return (c, jnp.clip(g * B + off, 0, S[0] - 1), 0, 0)
+        return pl.BlockSpec((1, 1, S[1], S[2]), f)
 
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda g: (g, 0, 0))
     comps = []
     for i in range(3):
+        bases = _comp_bases(i, B)
+        specs, args = [], []
+        for c, (base, nrows) in bases.items():
+            for m in range(nrows):
+                specs.append(crow(c, base + m))
+                args.append(u)
         comps.append(pl.pallas_call(
-            partial(_convj0_kernel, S, nu, limiter, dtype, i),
+            partial(_conv_comp_kernel, S, B, nu, limiter, dtype, i, bases),
             grid=(G,),
-            in_specs=[cslab(i), crow(i, up2), crow(i, up), crow(i, dn),
-                      crow(i, dn2), cslab(0), crow(0, up), crow(0, dn),
-                      cslab(i)],
+            in_specs=specs,
             out_specs=slab,
             out_shape=jax.ShapeDtypeStruct(S, dtype),
             interpret=interpret,
-        )(u, u, u, u, u, u, u, u, r12))
+        )(*args))
     return jnp.stack(comps, axis=0)
