@@ -146,7 +146,8 @@ def _coarsen_box(box_start, box_shape, S_coarse):
 
 
 def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
-                 box_shape=None, box_start=None) -> tuple:
+                 box_shape=None, box_start=None,
+                 bf16_eps: bool = True) -> tuple:
     """Build the static level stack from the fine face coefficients.
 
     The fine ``L`` *is* the BDIM zeroth moment ``μ₀`` (src/WaterLily.jl:77);
@@ -168,7 +169,8 @@ def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
         banded = have_box and _band_ok(Sl, box_shape)
         levels.append(make_level(L, perdir, sharded, banded=banded, c=c,
                                  box_shape=box_shape if banded else None,
-                                 box_start=box_start if banded else None))
+                                 box_start=box_start if banded else None,
+                                 bf16_eps=bf16_eps))
         if li == nlev - 1:
             break
         L = restrict_L(L, perdir, sharded)
@@ -187,7 +189,7 @@ def update_levels(levels: tuple, mu0: jax.Array, box_start=None) -> tuple:
     fine = levels[0]
     return build_levels(mu0, fine.perdir, fine.sharded,
                         fine.box_shape, box_start if box_start is not None
-                        else fine.box_start)
+                        else fine.box_start, bf16_eps=fine.bf16_eps)
 
 
 def vcycle(levels: tuple, l: int, x, r):

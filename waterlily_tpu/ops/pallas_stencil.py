@@ -63,7 +63,14 @@ def _ghost_mask(S, B, dtype):
 
 
 def _mult_block(L, L0d, D, xc, xu, xd, mask, B):
-    """A·x on a (B,S1,S2) slab from center + halo-row blocks."""
+    """A·x on a (B,S1,S2) slab from center + halo-row blocks.
+
+    ``x`` blocks may arrive in bf16 (the smoother's reduced-precision
+    search direction); compute is always in the coefficient dtype."""
+    if xc.dtype != L.dtype:
+        xc = xc.astype(L.dtype)
+        xu = xu.astype(L.dtype)
+        xd = xd.astype(L.dtype)
     xm = jnp.concatenate([xu, xc[:B - 1]], axis=0)   # x[I-δ0]
     xp = jnp.concatenate([xc[1:], xd], axis=0)       # x[I+δ0]
     L0 = L[0]
@@ -117,8 +124,9 @@ def _mult_kernel(S, B, dtype, with_dot, L_ref, L0d_ref, D_ref, xc_ref,
 def mult3d_pallas(L, Dd, x, S, interpret=False, block=BLOCK, with_dot=False):
     """z = A x via the blocked streaming kernel (periodic ghosts of ``x``
     must already be filled by the caller).  ``with_dot`` also returns
-    ⟨A·x, x⟩ accumulated in-kernel."""
-    dtype = x.dtype
+    ⟨A·x, x⟩ accumulated in-kernel.  ``x`` may be bf16 (smoother search
+    direction); ``z`` and the dot are always in the coefficient dtype."""
+    dtype = L.dtype
     B = block
     G = pl.cdiv(S[0], B)
     slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))

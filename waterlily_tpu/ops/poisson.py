@@ -58,6 +58,11 @@ class PoissonLevel:
     perdir: tuple = struct.field(pytree_node=False, default=())
     sharded: bool = struct.field(pytree_node=False, default=False)
     banded: bool = struct.field(pytree_node=False, default=False)
+    # store the smoother's search direction in bf16 (blocked levels only).
+    # x/r stay f32 and z = A·eps_bf16 is computed in f32 from the SAME
+    # rounded direction used for the x update, so r == z_rhs - A x holds to
+    # f32 precision — only the direction quality is (negligibly) affected.
+    bf16_eps: bool = struct.field(pytree_node=False, default=False)
     c: float = struct.field(pytree_node=False, default=1.0)
     box_shape: tuple | None = struct.field(pytree_node=False, default=None)
     box_start: jax.Array | None = None  # (D,) int32, dynamic
@@ -79,8 +84,12 @@ def _diag(L: jax.Array) -> jax.Array:
 
 def make_level(L: jax.Array, perdir: tuple = (), sharded: bool = False,
                banded: bool = False, c: float = 1.0, box_shape=None,
-               box_start=None) -> PoissonLevel:
-    """Build a level from face coefficients (reference ``set_diag!``)."""
+               box_start=None, bf16_eps: bool = True) -> PoissonLevel:
+    """Build a level from face coefficients (reference ``set_diag!``).
+
+    ``bf16_eps`` enables the reduced-precision smoother search direction on
+    blocked (big-3D TPU) levels — see the field docstring; halves the
+    direction-field traffic of the dominant fine-level PCG smoothers."""
     from .pallas_stencil import use_blocked
     Dd = _diag(L)
     eps = jnp.finfo(L.dtype).eps
@@ -93,7 +102,9 @@ def make_level(L: jax.Array, perdir: tuple = (), sharded: bool = False,
     blocked = (not banded) and use_blocked(L.shape[1:], L.dtype, sharded)
     return PoissonLevel(L=L, D=Dd, iD=iD, blocked=blocked,
                         perdir=perdir, sharded=sharded, banded=banded,
-                        c=float(c), box_shape=box_shape, box_start=box_start)
+                        c=float(c), box_shape=box_shape, box_start=box_start,
+                        bf16_eps=bool(bf16_eps) and blocked
+                        and L.dtype == jnp.float32)
 
 
 def _mult_interior_arrays(L, Dd, x) -> jax.Array:
@@ -263,6 +274,10 @@ def increment(lev: PoissonLevel, x, r, eps):
     """
     if lev.blocked:
         from .pallas_stencil import increment3d_pallas
+        if lev.bf16_eps:
+            # rounded correction: x and r both updated with the SAME eps
+            # (and A·eps computed in f32 from it), so r stays consistent
+            eps = eps.astype(jnp.bfloat16)
         eps = bc_scalar_periodic(eps, lev.perdir)
         return increment3d_pallas(lev.L, lev.D, eps, x, r, x.shape)
     ae = mult(lev, eps)
@@ -310,7 +325,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
     teneps = 10 * jnp.finfo(dt).eps
 
     z = _rid(lev, r)
-    eps = z
+    eps = z.astype(jnp.bfloat16) if lev.bf16_eps else z
     rho = field_dot(r, z)
     dead = jnp.abs(rho) < teneps
 
@@ -342,6 +357,8 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
         # keeps eps finite, and z is overwritten by mult next iteration —
         # dropping the selects saves a whole HBM pass per iteration.
         eps = mask_interior(beta * eps + z2)
+        if lev.bf16_eps:
+            eps = eps.astype(jnp.bfloat16)
         rho = jnp.where(dead, rho, rho2)
     return x, r
 

@@ -54,6 +54,11 @@ class Simulation:
       reverse-mode differentiable (``jax.grad`` through ``mom_step``), the
       beyond-parity extension of the reference's forward-only ForwardDiff
       scope (maintests.jl:254-278).
+    - ``smoother_bf16``: store the pressure smoother's search direction in
+      bf16 on blocked (big-3D TPU) levels.  The residual/solution stay f32
+      and remain exactly consistent; iteration counts are unchanged on the
+      benchmark configs (docs/PERF.md) and traffic drops ~20%.  Set False
+      to force full f32.
     - ``banded_levels``: opt-in banded (windowed) Poisson operator on the
       multigrid levels.  Off by default: its per-smoother-iteration window
       fix-ups measured slower than the dense blocked kernels at 256³.
@@ -63,7 +68,7 @@ class Simulation:
                  epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
                  log=False, mesh=None, bbox=True, fixed_iters=None,
-                 banded_levels=False):
+                 banded_levels=False, smoother_bf16=True):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
@@ -77,6 +82,10 @@ class Simulation:
         self._dims = tuple(dims)
         self._bbox_arg = bbox
         self._banded_levels = bool(banded_levels)
+        # bf16 smoother search directions on blocked (big-3D TPU) levels:
+        # r/x stay f32 and r == z - A x holds to f32 precision (see
+        # PoissonLevel.bf16_eps); measured pois_n parity in docs/PERF.md
+        self._smoother_bf16 = bool(smoother_bf16)
         self._cfg_kw = dict(D=D, S=tuple(n + 2 for n in dims), nu=float(nu),
                             U=u_BC, g=g, perdir=tuple(perdir),
                             exitBC=bool(exitBC), dtype=dtype, limiter=limiter,
@@ -105,7 +114,8 @@ class Simulation:
             bb = _bbox_of(dc)
             state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
             return _cs(state), _cl(build_levels(m0, cfg0.perdir, cfg0.sharded,
-                                                lv_box0, bb))
+                                                lv_box0, bb,
+                                                self._smoother_bf16))
 
         self.flow, self.levels = jax.jit(_init)()
 
@@ -204,7 +214,7 @@ class Simulation:
             bb = _bbox_of(dc)
             state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
             levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded,
-                                      lv_box0, bb))
+                                      lv_box0, bb, self._smoother_bf16))
             new, aux = mom_step(cfg, levels, state)
             aux["band_ok"] = _band_covered(dc, bb)
             return _cs(new), aux
@@ -279,7 +289,8 @@ class Simulation:
             bb = self._bbox_of(dc)
             return (V, m0, m1, bb, self._band_covered(dc, bb),
                     self._cl(build_levels(m0, cfg.perdir, cfg.sharded,
-                                          self._lv_box, bb)))
+                                          self._lv_box, bb,
+                                          self._smoother_bf16)))
 
         V, m0, m1, bb, ok, self.levels = jax.jit(_measure)(
             jnp.asarray(t, cfg.dtype))
