@@ -239,15 +239,15 @@ class Simulation:
         # peak HBM for large 3D runs
         self._scan_steps = jax.jit(scan_steps, static_argnums=(2, 3),
                                    donate_argnums=(0,))
-        # `lax.scan` carries are pathological on remote-tunnel TPU runtimes:
-        # the loop boundary copies the carried state at a few GB/s (measured
-        # at 256³: 86 ms/step driven from the host vs 540-1080 ms/step
-        # scanned; at (96,64,64): 4.7 vs up to 83 ms/step depending on the
-        # terminal build).  steps() therefore drives the donated single-step
-        # program in an async host loop by default — dispatch (~1.5 ms) is
+        # `lax.scan` carries are pathological on remote-tunnel TPU runtimes
+        # AT EVERY SIZE, not just multi-GB states (same-session A/B, round
+        # 3: TGV 64² 5.6 host vs 14.1 ms/step scanned; plate 130² remeasure
+        # 5.6 vs 16.6; (96,64,64) sphere 2.6 vs 3.4; 256³ from round 2:
+        # 86 vs 540+).  steps() therefore drives the donated single-step
+        # program in an async host loop unconditionally — dispatch is
         # hidden by pipelining, semantics are identical (no sync until the
         # final fetch).  Raise this cell-count threshold to re-enable the
-        # on-device scan below it (e.g. healthy local backends).
+        # on-device scan below it on backends with healthy scan carries.
         self._loop_threshold = 0
 
     def set_body(self, body):
