@@ -213,3 +213,69 @@ def test_simulation_mesh_kwarg_matches_single_device():
     assert np.allclose(np.asarray(sim_s.flow.p), np.asarray(sim_r.flow.p),
                        atol=1e-4)
     assert [list(r) for r in sim_s.pois_n] == [list(r) for r in sim_r.pois_n]
+
+
+@pytest.mark.parametrize("S", [(32, 32), (16, 32, 32)])
+def test_shardmap_pcg_matches_dense(S):
+    """The shard_map + ppermute PCG smoother (the multi-chip fast path,
+    ops.poisson.smooth dispatch) equals the dense smoother up to the
+    psum partial-sum reduction order."""
+    from waterlily_tpu.parallel.shard_smooth import shardmap_pcg, can_shardmap
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.poisson import make_level, pcg, residual
+    key = jax.random.PRNGKey(5)
+    D = len(S)
+    L = jnp.abs(jax.random.normal(key, (D,) + S, f32)) * 0.2 + 0.5
+    lev = make_level(L)
+    x = jnp.zeros(S, f32)
+    z = jax.random.normal(key, S, f32) * 1e-2
+    r = residual(lev, x, z)
+    x_ref, r_ref = jax.jit(lambda l, x, r: pcg(l, x, r))(lev, x, r)
+
+    mesh = mesh_for(S, 8)
+    assert can_shardmap(mesh, S, ())
+    lev_s = lev.replace(mesh=mesh, sharded=True)
+    x_s, r_s = jax.jit(lambda l, x, r: shardmap_pcg(l, x, r))(lev_s, x, r)
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_s), atol=1e-6)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-6)
+
+
+def test_shardmap_pcg_pallas_interpret_matches():
+    """Pallas kernels compose with shard_map (per-shard blocked mult) —
+    exercised in interpret mode on the virtual CPU mesh."""
+    from waterlily_tpu.parallel.shard_smooth import shardmap_pcg
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.poisson import make_level, pcg, residual
+    S = (16, 16, 16)
+    key = jax.random.PRNGKey(6)
+    L = jnp.abs(jax.random.normal(key, (3,) + S, f32)) * 0.2 + 0.5
+    lev = make_level(L)
+    x = jnp.zeros(S, f32)
+    z = jax.random.normal(key, S, f32) * 1e-2
+    r = residual(lev, x, z)
+    x_ref, r_ref = jax.jit(lambda l, x, r: pcg(l, x, r))(lev, x, r)
+    mesh = mesh_for(S, 8)
+    lev_s = lev.replace(mesh=mesh, sharded=True)
+    x_s, r_s = shardmap_pcg(lev_s, x, r, pallas="interpret")
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_s), atol=1e-6)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-6)
+
+
+def test_sharded_smoother_dispatch_via_step():
+    """A sharded step on an evenly-dividing mesh routes its smoother through
+    the shard_map fast path and still matches the single-device step."""
+    from waterlily_tpu.parallel.mesh import mesh_for, constrain_levels
+    cfg = FlowConfig(D=3, S=(18, 18, 18), U=(1.0, 0.0, 0.0), nu=0.01,
+                     dtype=f32)
+    state = flow_init(cfg)
+    levels = build_levels(state.mu0)
+    ref, aux_ref = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
+    mesh = mesh_for(cfg.S, 8)
+    with mesh:
+        levs = jax.jit(lambda l: constrain_levels(l, mesh))(levels)
+    assert any(l.mesh is not None for l in levs)
+    step = sharded_step_fn(cfg, mesh)
+    out, aux = step(state, levels)
+    assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
+    assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
+    assert int(aux["pois_n"][0]) == int(aux_ref["pois_n"][0])

@@ -63,6 +63,12 @@ class PoissonLevel:
     # rounded direction used for the x update, so r == z_rhs - A x holds to
     # f32 precision — only the direction quality is (negligibly) affected.
     bf16_eps: bool = struct.field(pytree_node=False, default=False)
+    # the device mesh for spatially-decomposed levels whose shape the mesh
+    # divides evenly: routes the smoother through `parallel.shard_smooth`
+    # (shard_map + ppermute halos + per-shard Pallas kernels) — the
+    # multi-chip fast path GSPMD cannot express (Mosaic calls cannot be
+    # partitioned).  Set by `parallel.mesh.constrain_levels`.
+    mesh: object = struct.field(pytree_node=False, default=None)
     c: float = struct.field(pytree_node=False, default=1.0)
     box_shape: tuple | None = struct.field(pytree_node=False, default=None)
     box_start: jax.Array | None = None  # (D,) int32, dynamic
@@ -365,7 +371,14 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
 
 def smooth(lev: PoissonLevel, x, r, it: int = 6):
     """Default smoother (reference ``smooth! = pcg!``): the fused Pallas PCG
-    on TPU when the level fits VMEM, the XLA path otherwise."""
+    on TPU when the level fits VMEM, the XLA path otherwise.  Sharded
+    levels with an evenly-dividing mesh route through the shard_map +
+    ppermute explicit-collective smoother (per-shard Pallas on real TPU
+    meshes) — the multi-chip fast path."""
+    if lev.mesh is not None:
+        from ..parallel.shard_smooth import shardmap_pcg, can_shardmap
+        if can_shardmap(lev.mesh, x.shape, lev.perdir):
+            return shardmap_pcg(lev, x, r, it)
     from .pallas_kernels import pcg_auto
     return pcg_auto(lev, x, r, it, xla_pcg=pcg)
 

@@ -48,21 +48,23 @@ def _axis_shards(mesh: Mesh, D: int):
              for k in range(D)])
 
 
-def halo_exchange(x_local, mesh: Mesh, D: int):
-    """Grow every spatial axis of a shard_map-local block by one plane.
+def halo_exchange(x_local, mesh: Mesh, D: int, width: int = 1):
+    """Grow every spatial axis of a shard_map-local block by ``width`` planes.
 
     Sharded axes receive the neighbouring shards' edge planes via
     `jax.lax.ppermute` (a pure ICI ring shift — no gather); unsharded axes
     and domain edges get zeros, which is safe because the global ghost ring
     lives inside the first/last local block so edge halos are never read
-    for interior outputs.  Must be called inside `shard_map`.
+    for interior outputs.  ``width=2`` serves the QUICK convection stencil
+    (reads ``I-2δ``, reference src/Flow.jl:6).  Must be called inside
+    `shard_map`.
     """
     lead = x_local.ndim - D
     for k, (name, n_shards) in enumerate(_axis_shards(mesh, D)):
         axis = lead + k
-        lo = jax.lax.slice_in_dim(x_local, 0, 1, axis=axis)
-        hi = jax.lax.slice_in_dim(x_local, x_local.shape[axis] - 1, None,
-                                  axis=axis)
+        n = x_local.shape[axis]
+        lo = jax.lax.slice_in_dim(x_local, 0, width, axis=axis)
+        hi = jax.lax.slice_in_dim(x_local, n - width, None, axis=axis)
         if n_shards > 1:
             fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
             bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]

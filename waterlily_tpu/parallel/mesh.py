@@ -134,7 +134,10 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
         if ok:
             sh_sc = NamedSharding(mesh, _spatial_spec(mesh, len(S), 0))
             sh_vec = NamedSharding(mesh, _spatial_spec(mesh, len(S), 1))
+            # `mesh` routes the smoother through the shard_map fast path
+            # (ops.poisson.smooth) when it divides this level evenly
             out.append(lev.replace(
+                mesh=mesh,
                 L=jax.lax.with_sharding_constraint(lev.L, sh_vec),
                 D=jax.lax.with_sharding_constraint(lev.D, sh_sc),
                 iD=jax.lax.with_sharding_constraint(lev.iD, sh_sc)))

@@ -1,0 +1,207 @@
+"""Multi-chip fast path: the PCG smoother under `shard_map`.
+
+The GSPMD path (`parallel.mesh`) is correct everywhere but executes the
+~31-pass XLA stencil lowering on every smoother iteration — Mosaic custom
+calls cannot be partitioned by GSPMD, so all Pallas dispatch is gated off
+for sharded layouts.  `shard_map` removes that limitation: manual
+partitioning composes with `pallas_call`, so each device can run the
+blocked streaming kernels on its local block, with
+
+- halo exchange via `jax.lax.ppermute` ring shifts (`parallel.halo`) — one
+  plane of ``eps`` per sharded axis per iteration, pure ICI traffic;
+- the PCG dot products as per-shard partial sums + `jax.lax.psum`.
+
+The smoother dominates pressure-solve traffic (docs/PERF.md), so routing
+it through this path gives a sharded step whose hot loop matches the
+single-device kernel tier; the remaining V-cycle plumbing (restrict,
+prolongate, jacobi, residual) stays on GSPMD where XLA's partitioner is
+already collective-permute-clean (HLO-asserted in tests/test_sharding.py).
+
+Math is the same masked-early-exit PCG as `ops.poisson.pcg` (reference
+src/Poisson.jl:123-143); only the dot-product reduction order differs
+(per-shard partials then psum), which perturbs results at the ulp level.
+
+Reference scope: the reference has no distributed support (README.md:157);
+SURVEY.md §5.8 and §7 stage 8 specify this design.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from .halo import halo_exchange, _axis_shards, spatial_specs
+
+__all__ = ["shardmap_pcg", "can_shardmap", "local_mult"]
+
+
+def _spatial_names(mesh: Mesh):
+    return tuple(n for n in mesh.axis_names if n != "r")
+
+
+def can_shardmap(mesh: Mesh | None, S: tuple, perdir: tuple) -> bool:
+    """Gate for the shard_map smoother: a mesh whose shard counts divide
+    the level shape evenly (shard_map requires exact divisibility, unlike
+    GSPMD's padded sharding), and no periodic directions (periodic ghost
+    fills would need wrap-around halo plumbing; GSPMD handles those)."""
+    if mesh is None or perdir:
+        return False
+    names = _spatial_names(mesh)
+    if not names:
+        return False
+    return all(S[k] % mesh.shape[names[k]] == 0
+               for k in range(min(len(names), len(S))))
+
+
+def _ghost_mask_local(mesh: Mesh, S, loc_shape):
+    """Mask (local block) of cells that are NOT in the global ghost ring."""
+    from ..grid import axis_coord
+    ax = _axis_shards(mesh, len(S))
+    m = None
+    for d in range(len(S)):
+        name, k = ax[d]
+        base = (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
+        g = axis_coord(loc_shape, d) + base
+        md = (g >= 1) & (g <= S[d] - 2)
+        m = md if m is None else m & md
+    return m
+
+
+def _shift_up(a, d, mesh, ax):
+    """a_global[j+1] along axis d from the local block: local shift + ONE
+    received plane (the upper-face coefficient — the only L communication
+    the stencil needs)."""
+    name, k = ax[d]
+    lo = jax.lax.slice_in_dim(a, 0, 1, axis=d)
+    if k > 1:
+        bwd = [((i + 1) % k, i) for i in range(k)]
+        recv = jax.lax.ppermute(lo, name, bwd)
+        recv = jnp.where(jax.lax.axis_index(name) == k - 1, 0.0, recv)
+    else:
+        recv = jnp.zeros_like(lo)
+    rest = jax.lax.slice_in_dim(a, 1, None, axis=d)
+    return jnp.concatenate([rest, recv], axis=d)
+
+
+def local_mult(mesh: Mesh, S, L_l, Lup, Dd_l, x_l, mask, pallas: str = "off"):
+    """A·x on a shard's local block after one halo-exchange round.
+
+    ``Lup[i]`` is the pre-shifted upper-face coefficient (`_shift_up`,
+    computed once per solve — L is constant across smoother iterations).
+    ``pallas``: 'off' = XLA slice form (CPU/virtual-mesh), 'compiled' /
+    'interpret' = the blocked streaming kernel on the halo'd local block
+    (Mosaic on real TPU chips; interpret mode exercises the same
+    composition on the virtual CPU mesh in tests).
+    """
+    D = x_l.ndim
+    xh = halo_exchange(x_l, mesh, D)
+    if pallas != "off":
+        from ..ops.pallas_stencil import mult3d_pallas
+        # the halo'd block is exactly a ghost-padded grid for the kernel:
+        # pad L/D with zero ghosts, run the standard kernel, trim
+        Lh = jnp.pad(jnp.stack([L_l[i] for i in range(D)]),
+                     [(0, 0)] + [(1, 1)] * D)
+        # kernel reads L[I+δ] itself, but the plane beyond the local block
+        # must hold the neighbour's coefficient: write Lup's top plane into
+        # the upper ghost of each component
+        for i in range(D):
+            top = jax.lax.slice_in_dim(Lup[i], x_l.shape[i] - 1, None, axis=i)
+            idx = [slice(1, -1)] * D
+            idx[i] = slice(xh.shape[i] - 1, xh.shape[i])
+            Lh = Lh.at[(i, *idx)].set(top)
+        Dh = jnp.pad(Dd_l * mask.astype(Dd_l.dtype), [(1, 1)] * D)
+        zh = mult3d_pallas(Lh, Dh, xh, xh.shape,
+                           interpret=(pallas == "interpret"))
+        z = zh[(slice(1, -1),) * D]
+        return jnp.where(mask, z, 0.0)
+    z = x_l * Dd_l
+    loc_shape = x_l.shape
+
+    def sl(a, d, off):
+        return a[tuple(
+            slice(1 + (off if k == d else 0), 1 + (off if k == d else 0)
+                  + loc_shape[k]) for k in range(D))]
+
+    for i in range(D):
+        z = z + sl(xh, i, -1) * L_l[i] + sl(xh, i, +1) * Lup[i]
+    return jnp.where(mask, z, 0.0)
+
+
+def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
+    """Jacobi-preconditioned CG smoother with explicit collectives.
+
+    Same algebra as `ops.poisson.pcg` with the dead-mask early exits;
+    search directions in bf16 when ``lev.bf16_eps`` (same consistency
+    argument — x and r are updated from the same rounded direction).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    mesh = lev.mesh
+    D = x.ndim
+    S = x.shape
+    dt = x.dtype
+    teneps = 10 * jnp.finfo(dt).eps
+    names = _spatial_names(mesh)
+    sc, vec = spatial_specs(mesh, D)
+    ax = _axis_shards(mesh, D)
+    if pallas is None:
+        from ..ops.pallas_stencil import use_blocked
+        loc = _local_shape(mesh, S)
+        pallas = ("compiled"
+                  if jax.default_backend() == "tpu"
+                  and use_blocked(tuple(s + 2 for s in loc), dt,
+                                  sharded=False)
+                  else "off")
+
+    def local(L_l, Dd_l, iD_l, x_l, r_l):
+        mask = _ghost_mask_local(mesh, S, x_l.shape)
+        Lup = [_shift_up(L_l[i], i, mesh, ax) for i in range(D)]
+
+        def matvec(eps_l):
+            return local_mult(mesh, S, L_l, Lup, Dd_l,
+                              eps_l.astype(dt), mask, pallas)
+
+        def gdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), names)
+
+        def mask_int(a):
+            return jnp.where(mask, a, 0).astype(a.dtype)
+
+        z = r_l * iD_l
+        eps = z.astype(jnp.bfloat16) if lev.bf16_eps else z
+        rho = gdot(r_l, z)
+        dead = jnp.abs(rho) < teneps
+        for i in range(it):
+            z = matvec(eps)
+            denom = gdot(z, eps.astype(dt))
+            alpha = jnp.where(dead | (denom == 0), 0.0,
+                              rho / jnp.where(denom == 0, 1.0, denom)).astype(dt)
+            dead = dead | (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)
+            upd = jnp.where(dead, 0.0, alpha).astype(dt)
+            x_new = x_l + upd * eps
+            r_new = r_l - upd * z
+            x_l, r_l = x_new, r_new
+            if i == it - 1:
+                break
+            z2 = r_l * iD_l
+            rho2 = gdot(r_l, z2)
+            dead = dead | (jnp.abs(rho2) < teneps)
+            beta = jnp.where(dead, 0.0,
+                             rho2 / jnp.where(rho == 0, 1.0, rho)).astype(dt)
+            eps = mask_int(beta * eps.astype(dt) + z2)
+            if lev.bf16_eps:
+                eps = eps.astype(jnp.bfloat16)
+            rho = jnp.where(dead, rho, rho2)
+        return x_l, r_l
+
+    fn = shard_map(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
+                   out_specs=(sc, sc), check_rep=False)
+    return fn(lev.L, lev.D, lev.iD, x, r)
+
+
+def _local_shape(mesh: Mesh, S: tuple) -> tuple:
+    names = _spatial_names(mesh)
+    return tuple(S[k] // (mesh.shape[names[k]] if k < len(names) else 1)
+                 for k in range(len(S)))
