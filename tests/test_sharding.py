@@ -279,3 +279,19 @@ def test_sharded_smoother_dispatch_via_step():
     assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
     assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
     assert int(aux["pois_n"][0]) == int(aux_ref["pois_n"][0])
+
+
+@pytest.mark.parametrize("S", [(32, 32), (16, 16, 32)])
+def test_shardmap_conv_diff_matches_dense(S):
+    """conv_diff with explicit width-2 ppermute halos equals the dense
+    gather-form tendency (QUICK reads I-2δ — the 2-cell halo case)."""
+    from waterlily_tpu.parallel.shard_smooth import shardmap_conv_diff
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.convect import conv_diff, quick
+    key = jax.random.PRNGKey(7)
+    D = len(S)
+    u = jax.random.normal(key, (D,) + S, f32)
+    r_ref = jax.jit(lambda u: conv_diff(u, 0.01, (), quick, False))(u)
+    mesh = mesh_for(S, 8)
+    r_s = jax.jit(lambda u: shardmap_conv_diff(mesh, u, 0.01, quick))(u)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)

@@ -53,6 +53,7 @@ class FlowConfig(NamedTuple):
     itmx: int = 32
     log: bool = False              # capture per-iteration solver residual traces
     sharded: bool = False          # GSPMD layout: disables all Pallas dispatch
+    mesh: Any = None               # device mesh: explicit shard_map fast paths
     bbox_shape: tuple | None = None  # static body-band box extents (banded BDIM)
     fixed_iters: int | None = None   # unroll exactly k pressure iterations:
     # reverse-mode differentiable step (jax.grad through mom_step)
@@ -189,7 +190,7 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     banded = cfg.bbox_shape is not None
 
     # predictor u -> u'
-    r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded)
+    r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh)
     r = accelerate(r, t, cfg.g, cfg.U, dtype)
     if banded:
         u = bdim_banded(cfg, state.bbox, None, u0, r,
@@ -204,7 +205,7 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
 
     # corrector u -> u¹
-    r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded)
+    r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh)
     r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
     if banded:
         u = bdim_banded(cfg, state.bbox, u, u0, r,

@@ -57,8 +57,82 @@ def vanleer(u, c, d):
     return jnp.where(keep, c, lim)
 
 
+def conv_core(up, S_out: tuple, S_glob: tuple, base, nu, perdir: tuple,
+              limiter, u_wrap=None) -> jax.Array:
+    """Gather-form conv_diff tendency on a window of the global grid.
+
+    ``up`` is the (component-lead) velocity window padded by 2 on every
+    spatial axis; the output covers the unpadded ``S_out`` cells, whose
+    global index along axis d is ``base[d] + local index`` (``base`` may be
+    traced — the shard_map path derives it from `axis_index`).  The global
+    path calls this with ``S_out == S_glob`` and ``base = 0``.  ``u_wrap``
+    supplies the unpadded global array for periodic far-upwind wraps
+    (global path only — the sharded dispatch excludes periodic dirs).
+    """
+    D = len(S_out)
+
+    def cells(c, offs=None):
+        """Component(s) ``c`` of ``u`` on the output cell grid, offset by
+        ``offs[d]`` along axis d.  Pure slice of ``up`` (|off| <= 2)."""
+        offs = offs or {}
+        sl = tuple(slice(2 + offs.get(d, 0), 2 + S_out[d] + offs.get(d, 0))
+                   for d in range(D))
+        return up[(c,) + sl]
+
+    A = slice(None)
+
+    def gidx(d):
+        k = axis_coord(S_out, d)
+        return k if base is None else k + base[d]
+
+    def face_flux(j, s, periodic):
+        """Flux through face ``k+s`` of every cell ``k`` (s in {0,1}),
+        for all momentum components, as an unmaterialised expression."""
+        f = cells(A, {j: s})
+        fm1 = cells(A, {j: s - 1})
+        fm2 = cells(A, {j: s - 2})
+        fp1 = cells(A, {j: s + 1})
+        w = jnp.stack([0.5 * (cells(j, {j: s}) + cells(j, {j: s, i: -1}))
+                       if i != j else 0.5 * (cells(j, {j: s}) + cells(j, {j: s - 1}))
+                       for i in range(D)], axis=0)
+        kf = gidx(j) + s   # global face index at each cell position
+        cd = 0.5 * (f + fm1)
+        if periodic:
+            # ϕuP: face 1's far-upwind point wraps to interior plane S-3
+            wrap_sl = tuple(slice(S_glob[d] - 3, S_glob[d] - 2) if d == j
+                            else slice(None) for d in range(D))
+            fm2 = jnp.where(kf == 1, u_wrap[(A,) + wrap_sl], fm2)
+            pos = limiter(fm2, fm1, f)
+            neg = limiter(fp1, f, fm1)
+        else:
+            pos = jnp.where(kf == 1, cd, limiter(fm2, fm1, f))          # ϕuL
+            neg = jnp.where(kf == S_glob[j] - 1, cd, limiter(fp1, f, fm1))  # ϕuR
+        return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+    r = jnp.zeros(up.shape[:1] + S_out, up.dtype)
+    for j in range(D):
+        periodic = j in perdir
+        Fk = face_flux(j, 0, periodic)
+        Fk1 = face_flux(j, 1, periodic)
+        if periodic:
+            # upperBoundary! Val{true}: the top face flux (face S-1, seen as
+            # face k+1 of cell S-2) copies face 1's flux (Flow.jl:60)
+            k = gidx(j)
+            face1 = tuple(slice(1, 2) if d == j else slice(None)
+                          for d in range(D))
+            Fk1 = jnp.where(k + 1 == S_glob[j] - 1, Fk[(A,) + face1], Fk1)
+        # reference write support: cells 1..S-2 along j, 1..S-1 transverse
+        m = None
+        for d in range(D):
+            kd = gidx(d)
+            md = (kd >= 1) & (kd <= S_glob[d] - 2) if d == j else (kd >= 1)
+            m = md if m is None else m & md
+        r = r + jnp.where(m, Fk - Fk1, 0.0)
+    return r
+
+
 def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
-              sharded: bool = False) -> jax.Array:
+              sharded: bool = False, mesh=None) -> jax.Array:
     """Momentum tendency r = -div(convective flux) + nu*laplacian, gather form.
 
     Faithful to reference `conv_diff!` (src/Flow.jl:36-51) including which
@@ -72,6 +146,9 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
     over slices of a single edge-padded buffer.  This doubles the limiter
     FLOPs but reads ``u`` once and writes ``r`` once; the op is ~10:1
     bandwidth-bound on TPU so trading FLOPs for HBM passes wins ~4x.
+
+    ``mesh``: sharded programs on an evenly-dividing mesh route through the
+    explicit shard_map path (width-2 ppermute halos, per-shard compute).
     """
     D = u.shape[0]
     S = u.shape[1:]
@@ -79,6 +156,10 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
         from .pallas_stencil import use_blocked, conv_diff3d_pallas
         if use_blocked(S, u.dtype, sharded):
             return conv_diff3d_pallas(u, nu, limiter, S)
+    if sharded and mesh is not None and not perdir:
+        from ..parallel.shard_smooth import can_shardmap, shardmap_conv_diff
+        if can_shardmap(mesh, S, perdir):
+            return shardmap_conv_diff(mesh, u, nu, limiter)
     # single zero-padded buffer: every stencil read below is a slice of
     # this.  The pad planes are never *selected* (boundary faces take the
     # cd / periodic-wrap branches and the write mask clips the rest), so a
@@ -86,61 +167,7 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
     # collective-permutes on evenly-sharded axes, while mode="edge"
     # (concatenated edge slices) all-gathers.
     up = jnp.pad(u, [(0, 0)] + [(2, 2)] * D)
-
-    def cells(c, offs=None):
-        """Component(s) ``c`` of ``u`` on the full cell grid, offset by
-        ``offs[d]`` along axis d.  Pure slice of ``up`` (|off| <= 2)."""
-        offs = offs or {}
-        sl = tuple(slice(2 + offs.get(d, 0), 2 + S[d] + offs.get(d, 0))
-                   for d in range(D))
-        return up[(c,) + sl]
-
-    A = slice(None)
-
-    def face_flux(j, s, periodic):
-        """Flux through face ``k+s`` of every cell ``k`` (s in {0,1}),
-        for all momentum components, as an unmaterialised expression."""
-        f = cells(A, {j: s})
-        fm1 = cells(A, {j: s - 1})
-        fm2 = cells(A, {j: s - 2})
-        fp1 = cells(A, {j: s + 1})
-        w = jnp.stack([0.5 * (cells(j, {j: s}) + cells(j, {j: s, i: -1}))
-                       if i != j else 0.5 * (cells(j, {j: s}) + cells(j, {j: s - 1}))
-                       for i in range(D)], axis=0)
-        kf = axis_coord(S, j) + s   # face index at each cell position
-        cd = 0.5 * (f + fm1)
-        if periodic:
-            # ϕuP: face 1's far-upwind point wraps to interior plane S-3
-            wrap_sl = tuple(slice(S[d] - 3, S[d] - 2) if d == j else slice(None)
-                            for d in range(D))
-            fm2 = jnp.where(kf == 1, u[(A,) + wrap_sl], fm2)
-            pos = limiter(fm2, fm1, f)
-            neg = limiter(fp1, f, fm1)
-        else:
-            pos = jnp.where(kf == 1, cd, limiter(fm2, fm1, f))          # ϕuL
-            neg = jnp.where(kf == S[j] - 1, cd, limiter(fp1, f, fm1))   # ϕuR
-        return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
-
-    r = jnp.zeros_like(u)
-    for j in range(D):
-        periodic = j in perdir
-        Fk = face_flux(j, 0, periodic)
-        Fk1 = face_flux(j, 1, periodic)
-        if periodic:
-            # upperBoundary! Val{true}: the top face flux (face S-1, seen as
-            # face k+1 of cell S-2) copies face 1's flux (Flow.jl:60)
-            k = axis_coord(S, j)
-            face1 = tuple(slice(1, 2) if d == j else slice(None)
-                          for d in range(D))
-            Fk1 = jnp.where(k + 1 == S[j] - 1, Fk[(A,) + face1], Fk1)
-        # reference write support: cells 1..S-2 along j, 1..S-1 transverse
-        m = None
-        for d in range(D):
-            kd = axis_coord(S, d)
-            md = (kd >= 1) & (kd <= S[d] - 2) if d == j else (kd >= 1)
-            m = md if m is None else m & md
-        r = r + jnp.where(m, Fk - Fk1, 0.0)
-    return r
+    return conv_core(up, S, S, None, nu, perdir, limiter, u_wrap=u)
 
 
 def accelerate(r: jax.Array, t, g, U, dtype) -> jax.Array:

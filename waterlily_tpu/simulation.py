@@ -90,7 +90,7 @@ class Simulation:
                             U=u_BC, g=g, perdir=tuple(perdir),
                             exitBC=bool(exitBC), dtype=dtype, limiter=limiter,
                             tol=float(tol), itmx=int(itmx), log=bool(log),
-                            sharded=mesh is not None,
+                            sharded=mesh is not None, mesh=mesh,
                             fixed_iters=None if fixed_iters is None
                             else int(fixed_iters))
         if mesh is not None:
