@@ -28,8 +28,8 @@ def test_banded_ops_bitwise_equal():
     """Each banded operator matches dense exactly on a real sphere level."""
     from waterlily_tpu.ops import poisson as P
     from waterlily_tpu.ops.multigrid import vcycle
-    a = sphere_3d(n=48, m=32, bbox="force", banded_levels=True)
-    b = sphere_3d(n=48, m=32, bbox=False)
+    a = sphere_3d(n=32, m=32, bbox="force", banded_levels=True)
+    b = sphere_3d(n=32, m=32, bbox=False)
     la, lb = a.levels[0], b.levels[0]
     assert la.banded and not lb.banded
     S = la.D.shape
@@ -110,11 +110,11 @@ def test_band_box_shape_gating():
 
 @pytest.mark.parametrize("exit_bc", [False, True])
 def test_banded_matches_dense_circle(exit_bc):
-    a = circle_2d(n=64, m=48, exitBC=exit_bc, bbox="force",
+    a = circle_2d(n=48, m=32, exitBC=exit_bc, bbox="force",
                   banded_levels=True)
-    b = circle_2d(n=64, m=48, exitBC=exit_bc, bbox=False)
+    b = circle_2d(n=48, m=32, exitBC=exit_bc, bbox=False)
     assert a.cfg.bbox_shape is not None and b.cfg.bbox_shape is None
-    for s in range(6):
+    for s in range(4):
         a.step(remeasure=(s % 2 == 0))
         b.step(remeasure=(s % 2 == 0))
     assert _max_diff(a, b) < 2e-3
@@ -122,8 +122,8 @@ def test_banded_matches_dense_circle(exit_bc):
 
 
 def test_banded_matches_dense_sphere_3d():
-    a = sphere_3d(n=48, m=32, bbox="force", banded_levels=True)
-    b = sphere_3d(n=48, m=32, bbox=False)
+    a = sphere_3d(n=32, m=32, bbox="force", banded_levels=True)
+    b = sphere_3d(n=32, m=32, bbox=False)
     for _ in range(3):
         a.step(remeasure=False)
         b.step(remeasure=False)

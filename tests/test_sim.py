@@ -105,8 +105,10 @@ def test_grad_ke_wrt_re():
     """d(KE)/d(Re) via jax.jvp matches finite differences (maintests.jl:260-261).
 
     The reference uses ForwardDiff through the whole solver; here the jitted
-    step (while_loop included) is forward-differentiated."""
-    L = 64
+    step (while_loop included) is forward-differentiated.  L=32 keeps the
+    traced program small (the oracle is jvp==FD of the same program, not an
+    accuracy target)."""
+    L = 32
     kappa = 2 * np.pi / L
 
     def ke_of_re(Re):
@@ -155,7 +157,7 @@ def test_grad_lift_wrt_spin():
     from waterlily_tpu.body import AutoBody, measure_fields
     from waterlily_tpu.ops.multigrid import build_levels
 
-    Dm, Re, U = 16, 500, 1.0
+    Dm, Re, U = 8, 500, 1.0
     C, R = float(2 * Dm) / 2, Dm // 2
 
     def lift(xi, t_end=0.5):

@@ -89,7 +89,10 @@ def shardmap_mult(mesh: Mesh, L, Dd, x):
     placed with `spatial_specs` and each device computes its block after
     one `ppermute` round per sharded axis.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     D = x.ndim
     S = x.shape

@@ -136,7 +136,10 @@ def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
     search directions in bf16 when ``lev.bf16_eps`` (same consistency
     argument — x and r are updated from the same rounded direction).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     mesh = lev.mesh
     D = x.ndim
@@ -197,7 +200,7 @@ def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
         return x_l, r_l
 
     fn = shard_map(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
-                   out_specs=(sc, sc), check_rep=False)
+                   out_specs=(sc, sc), check_vma=False)
     return fn(lev.L, lev.D, lev.iD, x, r)
 
 
@@ -216,7 +219,10 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter):
     periodic directions).  Together with `shardmap_pcg` this covers both
     hot loops of the step with source-visible communication.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from ..ops.convect import conv_core
 
     D = u.shape[0]
@@ -233,5 +239,5 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter):
         return conv_core(uh, loc, S, base, nu, (), limiter)
 
     fn = shard_map(local, mesh=mesh, in_specs=(vec,), out_specs=vec,
-                   check_rep=False)
+                   check_vma=False)
     return fn(u)
