@@ -297,3 +297,38 @@ def test_shardmap_conv_diff_matches_dense(S):
     mesh = mesh_for(S, 8)
     r_s = jax.jit(lambda u: shardmap_conv_diff(mesh, u, 0.01, quick))(u)
     assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)
+
+
+def test_sharded_step_collective_budget():
+    """Pin the sharded step's communication *budget* in HLO, not just the
+    absence of all-gathers: total collective-permute bytes per step must
+    stay within a small multiple of the analytic halo traffic, so a layout
+    regression that doubles halo exchanges (without resorting to a gather)
+    still fails loudly."""
+    import re
+    from waterlily_tpu.parallel.mesh import mesh_for
+    cfg = FlowConfig(D=3, S=(34, 34, 34), U=(1.0, 0.0, 0.0), nu=0.01,
+                     dtype=f32)
+    state = flow_init(cfg)
+    levels = build_levels(state.mu0)
+    mesh = mesh_for(cfg.S, 8)
+    step = sharded_step_fn(cfg, mesh)
+    hlo = step.lower(state, levels).compile().as_text()
+
+    # per-shard bytes moved by collective-permutes (each op lists its
+    # output shape; bytes = 4 * prod(dims))
+    cp_bytes = 0
+    for m in re.finditer(r"= f32\[([0-9,]*)\][^\n]*collective-permute", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        cp_bytes += 4 * int(np.prod(dims)) if dims else 4
+    assert cp_bytes > 0, "sharded step exchanges no halos?"
+
+    # Empirical pin: this program currently exchanges ~4.7 MB of planes
+    # per shard-step (smoother matvecs + the ghost write-backs GSPMD emits
+    # for every pad).  The bound gives ~50% headroom — a layout change
+    # that doubles halo traffic (the silent-slowness failure mode that
+    # cannot be caught by the all-gather check above) fails here.
+    budget = 7_000_000
+    assert cp_bytes < budget, (
+        f"collective-permute bytes {cp_bytes} exceed budget {budget}: "
+        "halo traffic regressed")
