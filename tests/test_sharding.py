@@ -332,3 +332,17 @@ def test_sharded_step_collective_budget():
     assert cp_bytes < budget, (
         f"collective-permute bytes {cp_bytes} exceed budget {budget}: "
         "halo traffic regressed")
+
+
+def test_shardmap_conv_diff_pallas_interpret_matches():
+    """The per-shard blocked conv kernels (global-index base offsets) under
+    shard_map equal the dense tendency — interpret mode, virtual mesh."""
+    from waterlily_tpu.parallel.shard_smooth import shardmap_conv_diff
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.convect import conv_diff, quick
+    S = (16, 16, 16)
+    u = jax.random.normal(jax.random.PRNGKey(8), (3,) + S, f32)
+    r_ref = jax.jit(lambda u: conv_diff(u, 0.01, (), quick, False))(u)
+    mesh = mesh_for(S, 8)
+    r_s = shardmap_conv_diff(mesh, u, 0.01, quick, pallas="interpret")
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)

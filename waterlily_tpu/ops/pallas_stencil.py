@@ -287,29 +287,41 @@ def use_ana(S, dtype) -> bool:
 # back to the XLA path.
 
 
-def _supp(S, B, j):
+def _gidx(shape, d, base_ref):
+    """Global index along axis d for every cell of a (B,S1,S2) block.
+
+    ``base_ref`` (SMEM, (1,3) i32) holds the global index of array cell 0
+    per axis — zeros for the whole-grid call; the shard_map path passes its
+    local block's offset (minus the halo width) so boundary-variant fluxes
+    and write-support masks see GLOBAL positions."""
+    g = jax.lax.broadcasted_iota(jnp.int32, shape, d)
+    if d == 0:
+        g = g + pl.program_id(0) * shape[0]
+    return g + base_ref[0, d]
+
+
+def _supp(S_glob, shape, j, base_ref):
     """Reference write-support mask for sweep j on a slab (util.jl:180):
-    cells 1..S-2 along j, 1..S-1 transverse (global axis-0 row via grid id)."""
-    s0 = pl.program_id(0) * B
-    g0 = s0 + jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 0)
-    g1 = jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 1)
-    g2 = jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 2)
-    gs = (g0, g1, g2)
+    cells 1..S-2 along j, 1..S-1 transverse — in GLOBAL indices."""
     m = None
     for d in range(3):
-        md = ((gs[d] >= 1) & (gs[d] <= S[d] - 2)) if d == j else (gs[d] >= 1)
+        g = _gidx(shape, d, base_ref)
+        md = ((g >= 1) & (g <= S_glob[d] - 2)) if d == j else (g >= 1)
         m = md if m is None else m & md
     return m
 
 
-def _conv_comp_kernel(S, B, nu, limiter, dtype, i, bases, *refs):
+def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
+                      base_ref, *refs):
     """All three sweeps for ONE output component ``i``.
 
     The 4-kernel split reads the velocity window once per kernel (~38
     effective row-passes per output row at B=1); reading each needed row
     exactly once per component cuts that to ~20-28.  Row windows arrive as
     clamped single-row BlockSpecs concatenated here; ``bases`` maps each
-    velocity component to its window's first row offset.
+    velocity component to its window's first row offset.  ``S`` is the
+    array geometry; ``S_glob``/``base_ref`` give the global-grid sizes and
+    this array's global offset (equal to S / zeros for whole-grid calls).
     """
     out_ref = refs[-1]
     wins = {}
@@ -323,8 +335,8 @@ def _conv_comp_kernel(S, B, nu, limiter, dtype, i, bases, *refs):
         lo = o - bases[c][0]
         return wins[c][lo:lo + B]
 
-    s0 = pl.program_id(0) * B
-    kf0 = s0 + jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), 0)
+    sh = (B, S[1], S[2])
+    kf0 = _gidx(sh, 0, base_ref)
 
     # axis-0 sweep (needs comp i at +-2 rows)
     if i == 1:
@@ -339,16 +351,16 @@ def _conv_comp_kernel(S, B, nu, limiter, dtype, i, bases, *refs):
         w = 0.5 * (tap(0, s) + wshift0(s))
         cd = 0.5 * (f + fm1)
         pos = jnp.where(kf0 + s == 1, cd, limiter(fm2, fm1, f))
-        neg = jnp.where(kf0 + s == S[0] - 1, cd, limiter(fp1, f, fm1))
+        neg = jnp.where(kf0 + s == S_glob[0] - 1, cd, limiter(fp1, f, fm1))
         return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
 
-    acc = jnp.where(_supp(S, B, 0), flux0(0) - flux0(1), 0.0)
+    acc = jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(0) - flux0(1), 0.0)
 
     # axis-1/2 sweeps (sublane/lane rolls)
     for j in (1, 2):
         roll = _sub_roll if j == 1 else _lane_roll
-        kf = jax.lax.broadcasted_iota(jnp.int32, (B, S[1], S[2]), j)
-        supp = _supp(S, B, j)
+        kf = _gidx(sh, j, base_ref)
+        supp = _supp(S_glob, sh, j, base_ref)
         uj = tap(j, 0)
         if i == 0:
             ujm0 = tap(j, -1)
@@ -368,7 +380,7 @@ def _conv_comp_kernel(S, B, nu, limiter, dtype, i, bases, *refs):
             cd = 0.5 * (f + fm1)
             pos = jnp.where(kf + s == 1, cd,
                             limiter(roll(fi, s - 2), fm1, f))
-            neg = jnp.where(kf + s == S[j] - 1, cd,
+            neg = jnp.where(kf + s == S_glob[j] - 1, cd,
                             limiter(roll(fi, s + 1), f, fm1))
             return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
 
@@ -392,28 +404,43 @@ def _comp_bases(i, B):
 
 
 def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
-                       block=None):
-    """Full non-periodic conv_diff: one all-sweeps kernel per component."""
+                       block=None, S_glob=None, base=None):
+    """Full non-periodic conv_diff: one all-sweeps kernel per component.
+
+    ``S_glob``/``base`` support shard_map-local calls: ``u`` is then a
+    halo-extended local block whose cell 0 sits at global index ``base``
+    (per axis, i32 — may be traced); boundary flux variants and write
+    support use global positions, and the caller trims the halo planes of
+    the output.  Defaults: whole grid (S_glob=S, base=0)."""
     dtype = u.dtype
     B = BLOCK_CDF if block is None else block
     G = pl.cdiv(S[0], B)
+    if S_glob is None:
+        S_glob = S
+    if base is None:
+        base = jnp.zeros((1, 3), jnp.int32)
+    else:
+        base = jnp.asarray(base, jnp.int32).reshape(1, 3)
 
     def crow(c, off):
         def f(g, c=c, off=off):
             return (c, jnp.clip(g * B + off, 0, S[0] - 1), 0, 0)
         return pl.BlockSpec((1, 1, S[1], S[2]), f)
 
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
+        else pl.BlockSpec()
     slab = pl.BlockSpec((B, S[1], S[2]), lambda g: (g, 0, 0))
     comps = []
     for i in range(3):
         bases = _comp_bases(i, B)
-        specs, args = [], []
-        for c, (base, nrows) in bases.items():
+        specs, args = [base_spec], [base]
+        for c, (boff, nrows) in bases.items():
             for m in range(nrows):
-                specs.append(crow(c, base + m))
+                specs.append(crow(c, boff + m))
                 args.append(u)
         comps.append(pl.pallas_call(
-            partial(_conv_comp_kernel, S, B, nu, limiter, dtype, i, bases),
+            partial(_conv_comp_kernel, S, S_glob, B, nu, limiter, dtype, i,
+                    bases),
             grid=(G,),
             in_specs=specs,
             out_specs=slab,

@@ -210,14 +210,19 @@ def _local_shape(mesh: Mesh, S: tuple) -> tuple:
                  for k in range(len(S)))
 
 
-def shardmap_conv_diff(mesh: Mesh, u, nu, limiter):
+def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
     """conv_diff with explicit collectives: width-2 ppermute halos (QUICK
-    reads ``I-2δ``, reference src/Flow.jl:6) and the gather-form flux core
-    evaluated per shard with global-index boundary masks.
+    reads ``I-2δ``, reference src/Flow.jl:6) and per-shard flux evaluation
+    with global-index boundary masks.
 
-    Non-periodic only (the `conv_diff` dispatch falls back to GSPMD for
-    periodic directions).  Together with `shardmap_pcg` this covers both
-    hot loops of the step with source-visible communication.
+    Each device runs the blocked all-sweeps Pallas kernels on its
+    halo-extended local block (``pallas='compiled'``, the default on real
+    TPU meshes when the block is kernel-sized; 'interpret' exercises the
+    composition on the virtual CPU mesh; 'off' = the XLA gather-form
+    core).  Non-periodic only (the `conv_diff` dispatch falls back to
+    GSPMD for periodic directions).  Together with `shardmap_pcg` this
+    covers both hot loops of the step with the kernel tier + source-
+    visible communication.
     """
     try:
         from jax import shard_map
@@ -229,6 +234,14 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter):
     S = u.shape[1:]
     sc, vec = spatial_specs(mesh, D)
     ax = _axis_shards(mesh, D)
+    if pallas is None:
+        from ..ops.pallas_stencil import use_blocked
+        loc = _local_shape(mesh, S)
+        ext = tuple(s + 4 for s in loc)
+        pallas = ("compiled"
+                  if D == 3 and jax.default_backend() == "tpu"
+                  and use_blocked(ext, u.dtype, sharded=False)
+                  else "off")
 
     def local(u_l):
         loc = u_l.shape[1:]
@@ -236,6 +249,13 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter):
         base = tuple(
             (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
             for d, (name, k) in enumerate(ax))
+        if pallas != "off":
+            from ..ops.pallas_stencil import conv_diff3d_pallas
+            r_ext = conv_diff3d_pallas(
+                uh, nu, limiter, uh.shape[1:], S_glob=S,
+                base=jnp.stack([jnp.int32(b) - 2 for b in base]),
+                interpret=(pallas == "interpret"))
+            return r_ext[(slice(None),) + (slice(2, -2),) * D]
         return conv_core(uh, loc, S, base, nu, (), limiter)
 
     fn = shard_map(local, mesh=mesh, in_specs=(vec,), out_specs=vec,
