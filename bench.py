@@ -77,14 +77,14 @@ def headline(quick):
     }
 
 
-def sphere_256():
+def sphere_big(n=256):
     from waterlily_tpu.models.cases import sphere_3d
-    sim = sphere_3d(n=256, m=256, Re=3700, dtype=jnp.float32)
+    sim = sphere_3d(n=n, m=n, Re=3700, dtype=jnp.float32)
     spp = _steady_step_time(sim)
-    cells = 254 ** 3
+    cells = (n - 2) ** 3
     ns_dof = spp / (3 * cells) * 1e9
     return spp, {
-        "metric": "3D sphere 256^3 f32 static: ms/step",
+        "metric": f"3D sphere {n}^3 f32 static: ms/step",
         "value": round(spp * 1e3, 2),
         "unit": "ms/step",
         "mlups": round(cells / spp / 1e6, 1),
@@ -170,7 +170,10 @@ def main():
         secondary = []
         # the full BASELINE.md benchmark set, recorded every round
         runs = [
-            ("3D sphere 256^3", lambda: sphere_256()[1]),
+            ("3D sphere 256^3", lambda: sphere_big(256)[1]),
+            # largest verified config (round 3; per-DOF cost IMPROVES with
+            # size as fixed costs amortize: 1.26 vs 1.42 ns/DOF same session)
+            ("3D sphere 320^3", lambda: sphere_big(320)[1]),
             ("256^3 remeasure", moving_256),
             ("2D circle wall", circle_2d_wall),
             ("2D TGV 64^2", lambda: small_config(

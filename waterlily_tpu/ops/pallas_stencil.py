@@ -34,9 +34,25 @@ except Exception:  # pragma: no cover
     HAS_PALLAS = False
 
 __all__ = ["mult3d_pallas", "increment3d_pallas", "use_blocked", "BLOCK",
+           "block_for",
            "ana_mult3d_pallas", "use_ana"]
 
 BLOCK = 2  # slab rows; ~2x the block working set must fit 16MB VMEM at 256^3
+
+
+def _row_bytes(S, dtype) -> int:
+    """Padded bytes of one (1, S1, S2) row block (TPU tiles the last two
+    dims to (8,128) for f32)."""
+    sub = -(-S[1] // 8) * 8
+    lane = -(-S[2] // 128) * 128
+    return sub * lane * jnp.dtype(dtype).itemsize
+
+
+def block_for(S, dtype=jnp.float32) -> int:
+    """Slab height for the mult/increment kernels: B=2 while the ~15
+    resident rows × double buffering fit the 16 MB scoped-VMEM budget,
+    else B=1 (at 322³ rows grow to 504 KB and B=2 overflows by ~4 MB)."""
+    return 2 if 34 * _row_bytes(S, dtype) <= 14 * 2 ** 20 else 1
 
 
 def _sub_roll(a, off):
@@ -71,10 +87,14 @@ def _mult_block(L, L0d, D, xc, xu, xd, mask, B):
         xc = xc.astype(L.dtype)
         xu = xu.astype(L.dtype)
         xd = xd.astype(L.dtype)
-    xm = jnp.concatenate([xu, xc[:B - 1]], axis=0)   # x[I-δ0]
-    xp = jnp.concatenate([xc[1:], xd], axis=0)       # x[I+δ0]
-    L0 = L[0]
-    L0p = jnp.concatenate([L0[1:], L0d], axis=0)     # L0[I+δ0]
+    if B == 1:   # zero-size concat operands are invalid vector types
+        xm, xp, L0p = xu, xd, L0d[None] if L0d.ndim == 2 else L0d
+        L0 = L[0]
+    else:
+        xm = jnp.concatenate([xu, xc[:B - 1]], axis=0)   # x[I-δ0]
+        xp = jnp.concatenate([xc[1:], xd], axis=0)       # x[I+δ0]
+        L0 = L[0]
+        L0p = jnp.concatenate([L0[1:], L0d], axis=0)     # L0[I+δ0]
     s = xc * D
     s = s + xm * L0 + xp * L0p
     L1 = L[1]
@@ -121,13 +141,13 @@ def _mult_kernel(S, B, dtype, with_dot, L_ref, L0d_ref, D_ref, xc_ref,
         out_refs[1][...] = jnp.sum(jnp.where(mask, z * xc, 0.0)).reshape(1, 1, 1)
 
 
-def mult3d_pallas(L, Dd, x, S, interpret=False, block=BLOCK, with_dot=False):
+def mult3d_pallas(L, Dd, x, S, interpret=False, block=None, with_dot=False):
     """z = A x via the blocked streaming kernel (periodic ghosts of ``x``
     must already be filled by the caller).  ``with_dot`` also returns
     ⟨A·x, x⟩ accumulated in-kernel.  ``x`` may be bf16 (smoother search
     direction); ``z`` and the dot are always in the coefficient dtype."""
     dtype = L.dtype
-    B = block
+    B = block_for(S, dtype) if block is None else block
     G = pl.cdiv(S[0], B)
     slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
     out_specs = [slab]
@@ -157,11 +177,11 @@ def _rsub_kernel(S, B, dtype, L_ref, L0d_ref, D_ref, ec_ref, eu_ref,
     ro_ref[...] = r_ref[...] - ae
 
 
-def increment3d_pallas(L, Dd, eps, x, r, S, interpret=False, block=BLOCK):
+def increment3d_pallas(L, Dd, eps, x, r, S, interpret=False, block=None):
     """(x+eps, r-A·eps): the stencil update runs blocked in Pallas, the
     cheap axpy stays in XLA (keeps the kernel under the VMEM budget)."""
     dtype = x.dtype
-    B = block
+    B = block_for(S, dtype) if block is None else block
     G = pl.cdiv(S[0], B)
     slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
     ro = pl.pallas_call(
@@ -354,7 +374,10 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
         neg = jnp.where(kf0 + s == S_glob[0] - 1, cd, limiter(fp1, f, fm1))
         return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
 
-    acc = jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(0) - flux0(1), 0.0)
+    # sequential flux evaluation (not flux0(0)-flux0(1) in one expression):
+    # halves the concurrent flux temporaries Mosaic must stack-allocate
+    acc = jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(0), 0.0)
+    acc = acc - jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(1), 0.0)
 
     # axis-1/2 sweeps (sublane/lane rolls)
     for j in (1, 2):
@@ -384,7 +407,8 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
                             limiter(roll(fi, s + 1), f, fm1))
             return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
 
-        acc = acc + jnp.where(supp, flux(0) - flux(1), 0.0)
+        acc = acc + jnp.where(supp, flux(0), 0.0)
+        acc = acc - jnp.where(supp, flux(1), 0.0)
     out_ref[...] = acc.astype(dtype)
 
 
