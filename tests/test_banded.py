@@ -24,12 +24,21 @@ def _max_diff(a, b):
                float(jnp.max(jnp.abs(a.flow.p - b.flow.p))))
 
 
-def test_banded_ops_bitwise_equal():
+@pytest.fixture(scope="module")
+def sphere_pair():
+    """One banded/dense sphere sim pair shared by the operator-bitwise and
+    trajectory tests (each Simulation build compiles a measure+levels
+    program — seconds of trace+load on the 1-core CI box)."""
+    a = sphere_3d(n=32, m=32, bbox="force", banded_levels=True)
+    b = sphere_3d(n=32, m=32, bbox=False)
+    return a, b
+
+
+def test_banded_ops_bitwise_equal(sphere_pair):
     """Each banded operator matches dense exactly on a real sphere level."""
     from waterlily_tpu.ops import poisson as P
     from waterlily_tpu.ops.multigrid import vcycle
-    a = sphere_3d(n=32, m=32, bbox="force", banded_levels=True)
-    b = sphere_3d(n=32, m=32, bbox=False)
+    a, b = sphere_pair
     la, lb = a.levels[0], b.levels[0]
     assert la.banded and not lb.banded
     S = la.D.shape
@@ -114,16 +123,18 @@ def test_banded_matches_dense_circle(exit_bc):
                   banded_levels=True)
     b = circle_2d(n=48, m=32, exitBC=exit_bc, bbox=False)
     assert a.cfg.bbox_shape is not None and b.cfg.bbox_shape is None
+    # exit_bc=False alternates remeasure (covers both step programs on the
+    # banded path); exit_bc=True remeasures every step — one program per sim
     for s in range(4):
-        a.step(remeasure=(s % 2 == 0))
-        b.step(remeasure=(s % 2 == 0))
+        rm = (s % 2 == 0) if not exit_bc else True
+        a.step(remeasure=rm)
+        b.step(remeasure=rm)
     assert _max_diff(a, b) < 2e-3
     assert all((x == y).all() for x, y in zip(a.pois_n, b.pois_n))
 
 
-def test_banded_matches_dense_sphere_3d():
-    a = sphere_3d(n=32, m=32, bbox="force", banded_levels=True)
-    b = sphere_3d(n=32, m=32, bbox=False)
+def test_banded_matches_dense_sphere_3d(sphere_pair):
+    a, b = sphere_pair
     for _ in range(3):
         a.step(remeasure=False)
         b.step(remeasure=False)
@@ -162,7 +173,7 @@ def test_banded_box_tracks_moving_body():
     b = Simulation((2 * L, 2 * L), (1, 0), 6.0, nu=0.1,
                    body=AutoBody(sdf, mp), bbox=False)
     starts = [np.asarray(a.flow.bbox).copy()]
-    for _ in range(12):
+    for _ in range(8):
         a.step(remeasure=True)
         b.step(remeasure=True)
         starts.append(np.asarray(a.flow.bbox).copy())

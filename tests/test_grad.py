@@ -28,7 +28,10 @@ def _tgv_ulam(i, x):
                      jnp.cos(xs) * jnp.sin(ys))
 
 
-def _ke_after(nu, n_steps=2, fixed=2):
+def _ke_after(nu, n_steps=2, fixed=1):
+    # fixed_iters=1: the oracle (grad == FD == jvp of the SAME program) is
+    # invariant to solver depth, while the traced/transposed program — the
+    # dominant wall time on the 1-core CI box — halves vs fixed=2.
     cfg = FlowConfig(D=2, S=(L + 2, L + 2), nu=nu, U=(0.0, 0.0),
                      perdir=(0, 1), dtype=f64, fixed_iters=fixed)
     state = flow_init(cfg, _tgv_ulam)
@@ -65,11 +68,14 @@ def test_reverse_grad_ke_wrt_nu():
     multigrid) matches central finite differences, and equals the
     forward-mode (jvp) directional derivative."""
     nu0 = 1.0 / (KAPPA * 100.0)
-    val = jax.jit(_ke_after)
-    g = float(jax.jit(jax.grad(_ke_after))(jnp.asarray(nu0, f64)))
+    # ONE compiled program serves both the gradient and the FD value probes
+    # (value_and_grad; the probes discard the grad output) — each distinct
+    # program costs seconds of trace+lower+AOT-load on the 1-core CI box.
+    vg = jax.jit(jax.value_and_grad(_ke_after))
+    g = float(vg(jnp.asarray(nu0, f64))[1])
     h = nu0 * 1e-3
-    fd = float((val(jnp.asarray(nu0 + h, f64)) -
-                val(jnp.asarray(nu0 - h, f64))) / (2 * h))
+    fd = float((vg(jnp.asarray(nu0 + h, f64))[0] -
+                vg(jnp.asarray(nu0 - h, f64))[0]) / (2 * h))
     assert np.isfinite(g)
     assert np.isclose(g, fd, rtol=1e-4), (g, fd)
     # reverse == forward on the identical fixed-trip program (jitted: an
@@ -125,10 +131,11 @@ def test_reverse_grad_through_body_measurement():
         return f[1] / (xi ** 2 * U ** 2 * Dm)
 
     xi0 = 2.0
-    val = jax.jit(lift)
-    g = float(jax.jit(jax.grad(lift))(jnp.asarray(xi0, f64)))
+    # one value_and_grad program serves the gradient and both FD probes
+    vg = jax.jit(jax.value_and_grad(lift))
+    g = float(vg(jnp.asarray(xi0, f64))[1])
     h = 1e-5
-    fd = float((val(jnp.asarray(xi0 + h, f64)) -
-                val(jnp.asarray(xi0 - h, f64))) / (2 * h))
+    fd = float((vg(jnp.asarray(xi0 + h, f64))[0] -
+                vg(jnp.asarray(xi0 - h, f64))[0]) / (2 * h))
     assert np.isfinite(g)
     assert np.isclose(g, fd, rtol=1e-3), (g, fd)

@@ -34,19 +34,17 @@ def test_vti_roundtrip(tmp_path, D):
     assert np.array_equal(back["u"], u)
 
 
-@pytest.mark.parametrize("D", [2, 3])
-def test_vtk_restart(tmp_path, D):
-    # mirror reference VTKExt test: run, write, restart a fresh sim, compare
-    os.chdir(tmp_path)
-    sim = sphere_sim(D)
-    wr = VTKWriter(f"test_vtk_reader_{D}", dir=str(tmp_path / "TEST_DIR"))
+@pytest.fixture(scope="module")
+def stepped2d():
+    """One stepped 2D sim shared (read-only) by the write/restart tests —
+    every extra Simulation + step program costs seconds of trace+load on
+    the 1-core CI box."""
+    sim = sphere_sim(2)
     sim.sim_step(0.02)
-    wr.write(sim)
-    wr.close()
+    return sim
 
-    restart = sphere_sim(D)
-    restart_from_vtk(restart, f"test_vtk_reader_{D}.pvd")
 
+def _assert_vtk_restart(sim, restart):
     assert np.array_equal(np.asarray(sim.flow.p), np.asarray(restart.flow.p))
     assert np.array_equal(np.asarray(sim.flow.u), np.asarray(restart.flow.u))
     # μ₀ is *re-measured* on restart (reference semantics, ReadVTKExt.jl:28-45);
@@ -57,13 +55,34 @@ def test_vtk_restart(tmp_path, D):
     assert abs(sim.sim_time - restart.sim_time) < 1e-3
 
 
-@pytest.mark.parametrize("D", [2])
-def test_checkpoint_roundtrip(tmp_path, D):
-    sim = sphere_sim(D)
+def test_vtk_restart_2d(tmp_path, stepped2d):
+    # mirror reference VTKExt test: run, write, restart a fresh sim, compare
+    os.chdir(tmp_path)
+    wr = VTKWriter("test_vtk_reader_2", dir=str(tmp_path / "TEST_DIR"))
+    wr.write(stepped2d)
+    wr.close()
+    restart = sphere_sim(2)
+    restart_from_vtk(restart, "test_vtk_reader_2.pvd")
+    _assert_vtk_restart(stepped2d, restart)
+
+
+def test_vtk_restart_3d(tmp_path):
+    os.chdir(tmp_path)
+    sim = sphere_sim(3)
+    wr = VTKWriter("test_vtk_reader_3", dir=str(tmp_path / "TEST_DIR"))
     sim.sim_step(0.02)
+    wr.write(sim)
+    wr.close()
+    restart = sphere_sim(3)
+    restart_from_vtk(restart, "test_vtk_reader_3.pvd")
+    _assert_vtk_restart(sim, restart)
+
+
+def test_checkpoint_roundtrip(tmp_path, stepped2d):
+    sim = stepped2d
     f = str(tmp_path / "ckpt.npz")
     save_checkpoint(f, sim)
-    restart = sphere_sim(D)
+    restart = sphere_sim(2)
     restart_sim(restart, f)
     for field in ("u", "p", "V", "mu0", "mu1"):
         assert np.array_equal(np.asarray(getattr(sim.flow, field)),
@@ -78,17 +97,17 @@ def test_checkpoint_bbox_recomputed_for_banded_sim(tmp_path):
     must recompute the window corner from the body — a zero corner would
     park the BDIM window at the domain edge while the body sits mid-domain."""
     from waterlily_tpu.models.cases import circle_2d
-    a = circle_2d(n=64, m=48, bbox=False)
+    a = circle_2d(n=48, m=32, bbox=False)
     a.sim_step(0.02)
     f = str(tmp_path / "c.npz")
     save_checkpoint(f, a)
 
-    b = circle_2d(n=64, m=48, bbox="force")
+    b = circle_2d(n=48, m=32, bbox="force")
     restart_sim(b, f)
     got = np.asarray(b.flow.bbox)
     assert (got > 0).all(), got  # zeros = window parked at the corner
     # trajectories agree with the dense restart
-    c = circle_2d(n=64, m=48, bbox=False)
+    c = circle_2d(n=48, m=32, bbox=False)
     restart_sim(c, f)
     for _ in range(3):
         b.step(remeasure=False)
@@ -96,13 +115,12 @@ def test_checkpoint_bbox_recomputed_for_banded_sim(tmp_path):
     assert np.allclose(np.asarray(b.flow.u), np.asarray(c.flow.u), atol=2e-4)
 
 
-def test_checkpoint_roundtrip_orbax(tmp_path):
+def test_checkpoint_roundtrip_orbax(tmp_path, stepped2d):
     """Orbax backend (per-host parallel shard writes on real meshes)."""
     pytest.importorskip("orbax.checkpoint")
     from waterlily_tpu.io.checkpoint import (save_checkpoint_orbax,
                                              restart_sim_orbax)
-    sim = sphere_sim(2)
-    sim.sim_step(0.02)
+    sim = stepped2d
     path = str(tmp_path / "orbax_ckpt")
     save_checkpoint_orbax(path, sim)
     restart = sphere_sim(2)

@@ -34,7 +34,7 @@ def test_circle_shedding_cd_st():
 
     sim = circle_2d(n=96, m=64, Re=100, dtype=jnp.float32, ulam=ulam)
     pf = jax.jit(lambda p: pressure_force(p, sim.body, 0.0))
-    rec = sim.run_record(45.0, every=0.25,
+    rec = sim.run_record(38.0, every=0.25,
                          fields={"f": lambda s: pf(s.flow.p)},
                          remeasure=False)
     t = np.array(rec["t"])
@@ -57,7 +57,10 @@ def test_circle_shedding_cd_st():
 def test_tgv3d_energy_decay_and_vortex_stretching():
     """3D TGV at Re=1600: monotone KE decay, super-viscous dissipation, and
     enstrophy growth (vortex stretching)."""
-    L, Re = 32, 1600
+    # 24³ keeps the oracle (monotone decay, super-viscous dissipation,
+    # 3D enstrophy growth) at ~half the 32³ wall time; windows re-measured
+    # at this resolution (ke ratio 0.623 at t*=1, enstrophy ratio 1.89)
+    L, Re = 24, 1600
     sim = tgv_3d(L=L, Re=Re, dtype=jnp.float32)
     ke_fn = jax.jit(lambda u: jnp.sum(ke(u)))
     ens_fn = jax.jit(lambda u: jnp.sum(jnp.sum(omega(u) ** 2, axis=0)))
@@ -73,12 +76,12 @@ def test_tgv3d_energy_decay_and_vortex_stretching():
     kes, ens, ts = np.array(kes), np.array(ens), np.array(ts)
     assert np.all(np.diff(kes) < 0), "KE must decay monotonically"
     # regression window for the transitional decay at this resolution
-    # (measured 0.674 at t*=1.09 on 32^3): well below the linear-viscous
+    # (measured 0.623 at t*=1 on 24^3): well below the linear-viscous
     # bound exp(-6 nu kappa^2 t) ≈ 0.975 — super-viscous dissipation.
     # Pin the first sample past t*=1 (chunked stepping overshoots the end).
     idx = int(np.argmax(ts >= 1.0))
     r_end = kes[idx] / ke0
-    assert 0.58 < r_end < 0.80, f"KE(t*={ts[idx]:.2f})/KE0 = {r_end:.3f}"
+    assert 0.54 < r_end < 0.72, f"KE(t*={ts[idx]:.2f})/KE0 = {r_end:.3f}"
     # vortex stretching: enstrophy grows far above its initial value
-    # (impossible in 2D, where enstrophy is non-increasing)
-    assert ens.max() / ens0 > 1.8, f"enstrophy ratio {ens.max() / ens0:.2f}"
+    # (impossible in 2D, where enstrophy is non-increasing; 1.89 measured)
+    assert ens.max() / ens0 > 1.5, f"enstrophy ratio {ens.max() / ens0:.2f}"

@@ -171,11 +171,15 @@ def test_replica_axis_mesh_matches_single():
 
 
 def test_sharded_hlo_halos_are_collective_permute():
-    """The GSPMD claim, verified on the compiled HLO: with an evenly-dividing
-    mesh (`mesh_for`), stencil halos and ghost write-backs lower to
-    `collective-permute`; the only all-gathers are the (tiny) coarse-level
-    replications — a full-field `all-gather` is the silent-slowness failure
-    mode of a bad layout."""
+    """The GSPMD claims, verified on ONE compiled HLO (a single 34³ sharded
+    step — compiling it twice would double the heaviest fixture in this
+    file): (a) with an evenly-dividing mesh (`mesh_for`), stencil halos and
+    ghost write-backs lower to `collective-permute`; the only all-gathers
+    are the (tiny) coarse-level replications — a full-field `all-gather` is
+    the silent-slowness failure mode of a bad layout; and (b) the total
+    collective-permute BYTES stay within a small multiple of the analytic
+    halo traffic, so a layout regression that doubles halo exchanges
+    (without resorting to a gather) still fails loudly."""
     import re
     from waterlily_tpu.parallel.mesh import mesh_for
     cfg = FlowConfig(D=3, S=(34, 34, 34), U=(1.0, 0.0, 0.0), nu=0.01,
@@ -196,6 +200,22 @@ def test_sharded_hlo_halos_are_collective_permute():
              for m in re.finditer(r"= f32\[([0-9,]*)\][^ ]* all-gather", hlo)]
     assert all(4 * s < field_bytes / 2 for s in sizes), (
         f"large all-gather outputs found: {sorted(sizes)[-8:]}")
+
+    # per-shard bytes moved by collective-permutes (each op lists its
+    # output shape; bytes = 4 * prod(dims))
+    cp_bytes = 0
+    for m in re.finditer(r"= f32\[([0-9,]*)\][^\n]*collective-permute", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        cp_bytes += 4 * int(np.prod(dims)) if dims else 4
+    # Empirical pin: this program currently exchanges ~4.7 MB of planes
+    # per shard-step (smoother matvecs + the ghost write-backs GSPMD emits
+    # for every pad).  The bound gives ~50% headroom — a layout change
+    # that doubles halo traffic (the silent-slowness failure mode the
+    # all-gather check above cannot see) fails here.
+    budget = 7_000_000
+    assert cp_bytes < budget, (
+        f"collective-permute bytes {cp_bytes} exceed budget {budget}: "
+        "halo traffic regressed")
 
 
 def test_simulation_mesh_kwarg_matches_single_device():
@@ -297,41 +317,6 @@ def test_shardmap_conv_diff_matches_dense(S):
     mesh = mesh_for(S, 8)
     r_s = jax.jit(lambda u: shardmap_conv_diff(mesh, u, 0.01, quick))(u)
     assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)
-
-
-def test_sharded_step_collective_budget():
-    """Pin the sharded step's communication *budget* in HLO, not just the
-    absence of all-gathers: total collective-permute bytes per step must
-    stay within a small multiple of the analytic halo traffic, so a layout
-    regression that doubles halo exchanges (without resorting to a gather)
-    still fails loudly."""
-    import re
-    from waterlily_tpu.parallel.mesh import mesh_for
-    cfg = FlowConfig(D=3, S=(34, 34, 34), U=(1.0, 0.0, 0.0), nu=0.01,
-                     dtype=f32)
-    state = flow_init(cfg)
-    levels = build_levels(state.mu0)
-    mesh = mesh_for(cfg.S, 8)
-    step = sharded_step_fn(cfg, mesh)
-    hlo = step.lower(state, levels).compile().as_text()
-
-    # per-shard bytes moved by collective-permutes (each op lists its
-    # output shape; bytes = 4 * prod(dims))
-    cp_bytes = 0
-    for m in re.finditer(r"= f32\[([0-9,]*)\][^\n]*collective-permute", hlo):
-        dims = [int(d) for d in m.group(1).split(",") if d]
-        cp_bytes += 4 * int(np.prod(dims)) if dims else 4
-    assert cp_bytes > 0, "sharded step exchanges no halos?"
-
-    # Empirical pin: this program currently exchanges ~4.7 MB of planes
-    # per shard-step (smoother matvecs + the ghost write-backs GSPMD emits
-    # for every pad).  The bound gives ~50% headroom — a layout change
-    # that doubles halo traffic (the silent-slowness failure mode that
-    # cannot be caught by the all-gather check above) fails here.
-    budget = 7_000_000
-    assert cp_bytes < budget, (
-        f"collective-permute bytes {cp_bytes} exceed budget {budget}: "
-        "halo traffic regressed")
 
 
 def test_shardmap_conv_diff_pallas_interpret_matches():
