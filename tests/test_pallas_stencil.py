@@ -51,6 +51,45 @@ def test_blocked_mult_with_dot(level_and_fields, block):
     assert np.isclose(float(dot), float(jnp.sum(z_ref * x)), rtol=1e-5)
 
 
+@pytest.mark.parametrize("block", [1, 2, 4])  # 34 % B == 0 required
+def test_stream_mult_matches(level_and_fields, block):
+    """Carried-rows streaming mult (every input row fetched once) equals
+    the XLA operator, including the fused dot and a bf16 operand."""
+    from waterlily_tpu.ops.pallas_stencil import mult3d_stream
+    S, lev, x, r, eps = level_and_fields
+    z_ref = mult(lev, x)
+    z_pl, dot = mult3d_stream(lev.L, lev.D, x, S, interpret=True,
+                              block=block, with_dot=True)
+    assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
+    assert np.isclose(float(dot), float(jnp.sum(z_ref * x)), rtol=1e-5)
+    # bf16 search direction (the smoother's reduced-precision eps)
+    xb = x.astype(jnp.bfloat16)
+    z_ref16 = mult(lev, xb.astype(f32))
+    z_pl16 = mult3d_stream(lev.L, lev.D, xb, S, interpret=True, block=block)
+    assert np.allclose(np.asarray(z_ref16), np.asarray(z_pl16), atol=1e-5)
+
+
+@pytest.mark.parametrize("block", [2, 4])
+def test_stream_increment_matches(level_and_fields, block):
+    from waterlily_tpu.ops.pallas_stencil import increment3d_stream
+    S, lev, x, r, eps = level_and_fields
+    x_ref, r_ref = increment(lev, x, r, eps)
+    x_pl, r_pl = increment3d_stream(lev.L, lev.D, eps, x, r, S,
+                                    interpret=True, block=block)
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_pl), atol=1e-6)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
+
+
+def test_stream_falls_back_on_indivisible_slab(level_and_fields):
+    """S0=34 is not divisible by 5: the stream entry must route to the
+    halo-row kernel and still be correct."""
+    from waterlily_tpu.ops.pallas_stencil import mult3d_stream
+    S, lev, x, r, eps = level_and_fields
+    z_ref = mult(lev, x)
+    z_pl = mult3d_stream(lev.L, lev.D, x, S, interpret=True, block=5)
+    assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
+
+
 @pytest.mark.parametrize("block", [2, 4, 5])  # 4,5 exercise ragged tails
 def test_ana_mult_matches_banded_far_field(level_and_fields, block):
     """The analytic (no-coefficient-reads) kernel equals the XLA banded

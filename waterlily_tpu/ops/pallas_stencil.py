@@ -210,6 +210,189 @@ def use_blocked(S, dtype, sharded: bool = False) -> bool:
             and math.prod(S) >= 2_000_000 and S[0] >= 2 * BLOCK)
 
 
+# --- carried-rows streaming mult/increment ---------------------------------
+#
+# NOT DISPATCHED — measured 40-70% slower than the halo-row kernels on the
+# v5e (PERF.md round-3 negative results): the halo kernels already run at
+# ~HBM speed-of-light, so the (B+2)/B re-read tax costs no wall time, while
+# the cross-step scratch dependency here defeats Mosaic's double-buffered
+# overlap.  Retained (with interpret-mode tests) as the reference
+# implementation of the each-input-row-fetched-once architecture.
+#
+# The blocked kernels above re-read axis-0 halo rows every slab: at B=2 the
+# x window is (B+2)/B = 2x and L0 (B+1)/B = 1.5x their algorithmic traffic.
+# These variants fetch EVERY INPUT ROW EXACTLY ONCE with no manual DMA: the
+# grid runs one step AHEAD of the output (the slab fetched at step g is
+# consumed at step g+1), stencil state rides a persistent VMEM carry, and
+# lagged BlockSpec index maps let Mosaic skip every duplicate fetch.
+#
+# Mechanics (grid = G+1 steps over G = S0/B slabs; requires B | S0):
+# - x and L0 input maps point at slab min(g, G-1): the +1 axis-0 tap of the
+#   step-(g) compute needs only the FIRST row of slab g.  L1/L2/D maps lag
+#   one step (slab max(g-1, 0)) — they have no +1 tap.  Consecutive equal
+#   block indices skip the copy, so every row moves from HBM once.
+# - a (B+1)-row VMEM carry holds x rows [gB-1, (g+1)B) across steps (one
+#   row of L0 likewise); step g>=1 computes output slab g-1 entirely from
+#   carries + the current slab's first row.
+# - the output map is max(g-1, 0): steps 0 and 1 both visit block 0, whose
+#   garbage step-0 contents stay in VMEM and are fully overwritten at step
+#   1 before Mosaic flushes on the index change.  Ghost outputs use
+#   where()-masking (NOT multiply): the carry's seed row is uninitialized
+#   VMEM whose NaNs would survive a multiply-by-zero.
+# - the grid dimension is declared ARBITRARY (sequential): the carry makes
+#   step g+1 depend on step g.
+
+
+def _stream_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,))
+
+
+def _stream_compute(S, B, g, L1, L2, Dd, xcar, l0car, x_in, l0_in):
+    """A·x rows [(g-1)B, gB) from the carries + current slab's first row.
+
+    Returns (z, xc) with z where-masked to zero on global ghosts."""
+    dtype = L1.dtype
+    xm = xcar[0:B]
+    xc = xcar[1:B + 1]
+    if B == 1:   # zero-size concat operands are invalid vector types
+        xp, L0p = x_in[0:1], l0_in[0:1]
+    else:
+        xp = jnp.concatenate([xcar[2:B + 1], x_in[0:1]], axis=0)
+        L0p = jnp.concatenate([l0car[1:B], l0_in[0:1]], axis=0)
+    if xc.dtype != dtype:
+        xm, xc, xp = (a.astype(dtype) for a in (xm, xc, xp))
+    L0 = l0car[0:B]
+    s = xc * Dd + xm * L0 + xp * L0p
+    s = s + _sub_roll(xc, -1) * L1 + _sub_roll(xc, +1) * _sub_roll(L1, +1)
+    s = s + _lane_roll(xc, -1) * L2 + _lane_roll(xc, +1) * _lane_roll(L2, +1)
+    s0 = (g - 1) * B
+    sh = (B, S[1], S[2])
+    g0 = s0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    g1 = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    g2 = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    m = ((g0 >= 1) & (g0 <= S[0] - 2) & (g1 >= 1) & (g1 <= S[1] - 2)
+         & (g2 >= 1) & (g2 <= S[2] - 2))
+    return jnp.where(m, s, 0.0).astype(dtype), xc
+
+
+def _carry_update(B, xcar, l0car, x_in, l0_in):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():  # seed the pre-window row with ANY finite value (never read
+        xcar[0:1] = x_in[0:1]  # for a real output; where-masking guards it)
+
+    @pl.when(g > 0)
+    def _():
+        xcar[0:1] = xcar[B:B + 1]
+    xcar[1:B + 1] = x_in[...]
+    l0car[0:B] = l0_in[...]
+
+
+def _stream_mult_kernel(S, B, with_dot, x_in, l0_in, L1_ref, L2_ref, D_ref,
+                        *rest):
+    if with_dot:
+        z_out, dot_out, xcar, l0car = rest
+    else:
+        (z_out, xcar, l0car), dot_out = rest, None
+    g = pl.program_id(0)
+
+    @pl.when(g > 0)
+    def _():
+        z, xc = _stream_compute(S, B, g, L1_ref[...], L2_ref[...], D_ref[...],
+                                xcar, l0car, x_in, l0_in)
+        z_out[...] = z
+        if with_dot:
+            dot_out[...] = jnp.sum(z * xc.astype(z.dtype)).reshape(1, 1, 1)
+
+    if with_dot:
+        @pl.when(g == 0)
+        def _():
+            dot_out[...] = jnp.zeros((1, 1, 1), z_out.dtype)
+
+    _carry_update(B, xcar, l0car, x_in, l0_in)
+
+
+def _stream_specs(S, B, G):
+    cur = lambda g: (jnp.minimum(g, G - 1), 0, 0)
+    lag = lambda g: (jnp.maximum(g - 1, 0), 0, 0)
+    slab = lambda f: pl.BlockSpec((B, S[1], S[2]), f)
+    return [slab(cur), slab(cur), slab(lag), slab(lag), slab(lag)], slab(lag)
+
+
+def mult3d_stream(L, Dd, x, S, interpret=False, block=None, with_dot=False):
+    """z = A·x with every input row fetched from HBM exactly once (carried-
+    rows streaming; see the section comment).  Falls back to the halo-row
+    kernel when the slab height does not divide S[0]."""
+    dtype = L.dtype
+    B = block_for(S, dtype) if block is None else block
+    if S[0] % B != 0:
+        return mult3d_pallas(L, Dd, x, S, interpret=interpret, block=block,
+                             with_dot=with_dot)
+    G = S[0] // B
+    in_specs, lag_slab = _stream_specs(S, B, G)
+    out_specs = [pl.BlockSpec((B, S[1], S[2]),
+                              lambda g: (jnp.maximum(g - 1, 0), 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct(S, dtype)]
+    if with_dot:
+        out_specs.append(pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((G + 1, 1, 1), dtype))
+    out = pl.pallas_call(
+        partial(_stream_mult_kernel, S, B, with_dot),
+        grid=(G + 1,),
+        in_specs=in_specs,
+        out_specs=out_specs if with_dot else out_specs[0],
+        out_shape=out_shape if with_dot else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((B + 1, S[1], S[2]), x.dtype),
+                        pltpu.VMEM((B, S[1], S[2]), dtype)],
+        compiler_params=_stream_params(),
+        interpret=interpret,
+    )(x, L[0], L[1], L[2], Dd)
+    if with_dot:
+        return out[0], jnp.sum(out[1])
+    return out
+
+
+def _stream_rsub_kernel(S, B, x_in, l0_in, L1_ref, L2_ref, D_ref, r_ref,
+                        ro_out, xcar, l0car):
+    g = pl.program_id(0)
+
+    @pl.when(g > 0)
+    def _():
+        ae, _ = _stream_compute(S, B, g, L1_ref[...], L2_ref[...], D_ref[...],
+                                xcar, l0car, x_in, l0_in)
+        ro_out[...] = r_ref[...] - ae
+
+    _carry_update(B, xcar, l0car, x_in, l0_in)
+
+
+def increment3d_stream(L, Dd, eps, x, r, S, interpret=False, block=None):
+    """(x+eps, r-A·eps) with each input row fetched once (r rides a lagged
+    aliased block; the axpy stays in XLA as in `increment3d_pallas`)."""
+    dtype = x.dtype
+    B = block_for(S, dtype) if block is None else block
+    if S[0] % B != 0:
+        return increment3d_pallas(L, Dd, eps, x, r, S, interpret=interpret,
+                                  block=block)
+    G = S[0] // B
+    in_specs, lag_slab = _stream_specs(S, B, G)
+    ro = pl.pallas_call(
+        partial(_stream_rsub_kernel, S, B),
+        grid=(G + 1,),
+        in_specs=in_specs + [lag_slab],
+        out_specs=pl.BlockSpec((B, S[1], S[2]),
+                               lambda g: (jnp.maximum(g - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(S, dtype),
+        scratch_shapes=[pltpu.VMEM((B + 1, S[1], S[2]), eps.dtype),
+                        pltpu.VMEM((B, S[1], S[2]), dtype)],
+        input_output_aliases={5: 0},
+        compiler_params=_stream_params(),
+        interpret=interpret,
+    )(eps, L[0], L[1], L[2], Dd, r)
+    return x + eps, ro
+
+
 # --- analytic (far-field) Poisson stencil ----------------------------------
 #
 # On banded levels the operator away from the body is the constant-coefficient
