@@ -131,6 +131,73 @@ def test_blocked_conv_diff():
     assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
 
 
+@pytest.mark.parametrize("perdir", [(), (1,), (0, 2), (0, 1, 2)])
+@pytest.mark.parametrize("save_exit", [False, True])
+def test_bc3d_pallas_bitwise(perdir, save_exit):
+    """The fused BC kernel is BITWISE equal to the sequential DUS chain —
+    ghost corners included — across periodic/Dirichlet/exit variants and a
+    ragged slab tail (10 % 4 != 0)."""
+    from waterlily_tpu.ops.bc import bc_vector
+    from waterlily_tpu.ops.pallas_stencil import bc3d_pallas
+    S = (10, 9, 12)
+    u = jax.random.normal(jax.random.PRNGKey(3), (3,) + S, f32)
+    A = (1.0, 0.5, -0.25)
+    ref = bc_vector(u, A, save_exit, perdir)          # DUS path (no fuse)
+    out = bc3d_pallas(u, A, save_exit, perdir, interpret=True, block=4)
+    assert (np.asarray(ref) == np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("block", [1, 2])
+def test_project3d_pallas_bitwise(level_and_fields, block):
+    """The fused projection tail equals the XLA chain (interior gradient +
+    ghost-pad + subtract, p rescale) on a real coefficient level — up to
+    FMA-contraction rounding (~1e-6); p and ghost rows of u are exact."""
+    from waterlily_tpu.grid import pad_interior
+    from waterlily_tpu.ops.poisson import pressure_grad_interior
+    from waterlily_tpu.ops.pallas_stencil import project3d_pallas
+    S, lev, x, r, eps = level_and_fields
+    u = jax.random.normal(jax.random.PRNGKey(7), (3,) + S, f32)
+    dt = jnp.float32(0.37)
+    upd = pressure_grad_interior(lev, x)
+    u_ref = u - pad_interior(upd, lead=1)
+    p_ref = x / dt
+    u_pl, p_pl = project3d_pallas(lev.L, x, u, dt, interpret=True,
+                                  block=block)
+    assert np.allclose(np.asarray(u_ref), np.asarray(u_pl), atol=1e-5)
+    assert (np.asarray(p_ref) == np.asarray(p_pl)).all()
+    # ghosts pass u through untouched (pad_interior semantics) — exact
+    assert (np.asarray(u_ref)[:, 0] == np.asarray(u_pl)[:, 0]).all()
+    assert (np.asarray(u_ref)[:, -1] == np.asarray(u_pl)[:, -1]).all()
+
+
+@pytest.mark.parametrize("block", [1, 2])
+def test_div3d_pallas(level_and_fields, block):
+    """Fused divergence + warm start equals flow.div and p*dt (p exact)."""
+    from waterlily_tpu.flow import div
+    from waterlily_tpu.ops.pallas_stencil import div3d_pallas
+    S, lev, x, r, eps = level_and_fields
+    u = jax.random.normal(jax.random.PRNGKey(11), (3,) + S, f32)
+    p = jax.random.normal(jax.random.PRNGKey(12), S, f32)
+    dt = jnp.float32(0.42)
+    z_ref = div(u)
+    z_pl, x_pl = div3d_pallas(u, p, dt, interpret=True, block=block)
+    assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
+    assert (np.asarray(p * dt) == np.asarray(x_pl)).all()
+    # ghost rows of z are exactly zero (pad_interior semantics)
+    assert (np.asarray(z_pl)[0] == 0).all() and (np.asarray(z_pl)[-1] == 0).all()
+
+
+def test_bc3d_gate(monkeypatch):
+    """Fused BC dispatches only for big 3D f32 on TPU, and only when the
+    caller passes fuse_ok (sharded programs must keep the DUS lowering)."""
+    from waterlily_tpu.ops import pallas_stencil as ps
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert ps.use_bc3d((258, 258, 258), f32) is True
+    assert ps.use_bc3d((18, 18, 18), f32) is False
+    assert ps.use_bc3d((258, 258), f32) is False
+    assert ps.use_bc3d((258, 258, 258), jnp.float64) is False
+
+
 def test_use_blocked_gates_off_when_sharded(monkeypatch):
     """GSPMD cannot partition Mosaic custom calls: the dispatch gate must be
     off for sharded layouts even on TPU at qualifying sizes."""

@@ -263,7 +263,7 @@ def measure_sdf(body, S, t=0.0, dtype=jnp.float32):
 
 
 def measure_fields(body, S, t=0.0, eps=1.0, perdir=(), exitBC=False,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, fuse_ok=False):
     """BDIM rasterization (reference ``measure!``, Body.jl:31-53).
 
     Fills ``V`` (body velocity), ``μ₀`` (zeroth moment) and ``μ₁`` (first
@@ -304,8 +304,8 @@ def measure_fields(body, S, t=0.0, eps=1.0, perdir=(), exitBC=False,
     # V's ghosts are zero before BC fill so exitBC's saved exit plane stays 0
     m1 = jnp.zeros_like(m1).at[interior(D, lead=2)].set(m1[interior(D, lead=2)])
     V = mask_interior(V, D)
-    m0 = bc_vector(m0, (0.0,) * D, False, perdir)
-    V = bc_vector(V, (0.0,) * D, exitBC, perdir)
+    m0 = bc_vector(m0, (0.0,) * D, False, perdir, fuse_ok=fuse_ok)
+    V = bc_vector(V, (0.0,) * D, exitBC, perdir, fuse_ok=fuse_ok)
     return V, m0, m1, d_center
 
 
@@ -327,8 +327,12 @@ def _loc_window(W: tuple, start, i: int | None, dtype) -> jax.Array:
     return jnp.stack(coords, axis=-1)
 
 
-def measure_fields_banded(body, S, t, eps, perdir, exitBC, dtype, box_shape):
+def measure_fields_banded(body, S, t, eps, perdir, exitBC, dtype, box_shape,
+                          fuse_ok=True):
     """Narrow-band BDIM rasterization (reference ``measure!``, Body.jl:32-44).
+
+    ``fuse_ok`` defaults True: banded sims are never GSPMD-sharded (design
+    invariant), so the fused Pallas BC sweep is always safe here.
 
     The reference evaluates the expensive autodiff ``measure`` only at cells
     whose center sdf satisfies ``d² < (2+ε)²``; this is the TPU-native
@@ -379,8 +383,8 @@ def measure_fields_banded(body, S, t, eps, perdir, exitBC, dtype, box_shape):
     m1 = upd(jnp.zeros((D, D) + S, dtype), jnp.stack(m1_w, axis=0), 2)
     # window cells are always interior, so μ₁ ghosts are already zero and V
     # ghosts are zero before the BC fill (same contract as the dense path)
-    m0 = bc_vector(m0, (0.0,) * D, False, perdir)
-    V = bc_vector(V, (0.0,) * D, exitBC, perdir)
+    m0 = bc_vector(m0, (0.0,) * D, False, perdir, fuse_ok=fuse_ok)
+    V = bc_vector(V, (0.0,) * D, exitBC, perdir, fuse_ok=fuse_ok)
     return V, m0, m1, d_center
 
 

@@ -151,16 +151,31 @@ def project(levels, u, p, dt_eff, cfg):
     exactly ``flow.mu0`` (src/WaterLily.jl:77) — ``levels[0].L is mu0``.
     """
     D = cfg.D
-    z = div(u)
-    x = p * dt_eff
+    lev = levels[0]
+    from .ops.pallas_stencil import (use_project3d, project3d_pallas,
+                                     div3d_pallas)
+    fused = (not lev.banded and not cfg.sharded
+             and use_project3d(p.shape, p.dtype))
+    if fused:
+        # fused divergence + dt-scaled warm start (one sweep)
+        z, x = div3d_pallas(u, p, dt_eff)
+    else:
+        z = div(u)
+        x = p * dt_eff
     out = ml_solve(levels, x, z, tol=cfg.tol, itmx=cfg.itmx, trace=cfg.log,
                    fixed=cfg.fixed_iters)
     x, r, n = out[:3]
     tr = out[3] if cfg.log else None
-    from .ops.poisson import pressure_grad_interior
-    upd = pressure_grad_interior(levels[0], x)
-    u = u - pad_interior(upd, lead=1)
-    p = x / dt_eff
+    if fused:
+        # fused velocity-correction + p-rescale sweep (equal to the XLA
+        # chain below up to FMA-contraction rounding ~1e-6; PERF.md
+        # round-3 decomposition)
+        u, p = project3d_pallas(lev.L, x, u, dt_eff)
+    else:
+        from .ops.poisson import pressure_grad_interior
+        upd = pressure_grad_interior(lev, x)
+        u = u - pad_interior(upd, lead=1)
+        p = x / dt_eff
     return u, p, (n, tr)
 
 
@@ -198,11 +213,11 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     else:
         u = jnp.where(imask, 0.0, u0)                # scale_u!(a, 0)
         u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
     if cfg.exitBC:
         u = exit_bc(u, u0, U, dt)
     u, p, (n1, tr1) = project(levels, u, p, dt, cfg)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
 
     # corrector u -> u¹
     r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh)
@@ -213,9 +228,9 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     else:
         u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
         u = jnp.where(imask, 0.5 * u, u)             # scale_u!(a, 0.5)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
     u, p, (n2, tr2) = project(levels, u, p, 0.5 * dt, cfg)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
 
     dt_new = cfl(u, cfg.nu)
     new = state._replace(u=u, p=p, dt=dt_new, t=t + dt)
@@ -235,11 +250,12 @@ def flow_init(cfg: FlowConfig, ulam=None, dt0=0.25):
             ulam = lambda i, x: jnp.asarray(cfg.U[i], dtype)
     u = apply_field(ulam, (D,) + S, dtype, vector=True)
     U0 = bc_tuple(cfg.U, jnp.zeros((), dtype), D, dtype)
-    u = bc_vector(u, U0, cfg.exitBC, cfg.perdir)
+    u = bc_vector(u, U0, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
     u = exit_bc(u, u, U0, jnp.zeros((), dtype))   # always applied at init (Flow.jl:115)
     p = jnp.zeros(S, dtype)
     V = jnp.zeros((D,) + S, dtype)
-    mu0 = bc_vector(jnp.ones((D,) + S, dtype), (0.0,) * D, False, cfg.perdir)
+    mu0 = bc_vector(jnp.ones((D,) + S, dtype), (0.0,) * D, False, cfg.perdir,
+                    fuse_ok=not cfg.sharded)
     mu1 = jnp.zeros((D, D) + S, dtype)
     return FlowState(u=u, p=p, V=V, mu0=mu0, mu1=mu1,
                      dt=jnp.asarray(dt0, dtype), t=jnp.zeros((), dtype),

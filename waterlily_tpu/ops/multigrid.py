@@ -101,7 +101,8 @@ def restrict_L(L: jax.Array, perdir: tuple = (), sharded: bool = False) -> jax.A
                     v = v.reshape(sh).sum(axis=d + 1)
         comps.append(pad_interior(0.5 * v))
     a = jnp.stack(comps, axis=0)
-    return bc_vector(a, (0.0,) * D, save_exit=False, perdir=perdir)
+    return bc_vector(a, (0.0,) * D, save_exit=False, perdir=perdir,
+                     fuse_ok=not sharded)
 
 
 def prolongate(x_coarse: jax.Array, S_fine: tuple, sharded: bool = False) -> jax.Array:

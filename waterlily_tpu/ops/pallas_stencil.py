@@ -393,6 +393,216 @@ def increment3d_stream(L, Dd, eps, x, r, S, interpret=False, block=None):
     return x + eps, ro
 
 
+# --- fused boundary-condition kernel (big 3D, single-device) ---------------
+#
+# bc_vector's 21-update DUS chain leaves ~4 un-elided full-array copies in
+# XLA (3.3 ms/call at 258³ = ~18% of the step over 4 call sites), and every
+# single-pass XLA reformulation materializes its layout ops (select
+# cascades 4.4 ms, concat trees 5.7 ms — PERF.md round-3 decomposition).
+# This kernel applies the reference's sequential stage semantics
+# (component-major, direction-minor, util.jl:192-210) in registers in ONE
+# read+write sweep: the component is a grid axis (so the stacked (3,S)
+# array is never sliced or re-stacked), axis-0 ghost sources are the two
+# interior boundary rows fetched once per component via constant index
+# maps, and axis-1/2 ghosts are in-row sublane/lane plane selects of the
+# ALREADY axis-0-updated value — which is exactly the sequential order, so
+# the result is bitwise-equal to the DUS chain, ghost corners included.
+
+BLOCK_BC = 4
+
+
+def _bc_kernel(S, B, save_exit, perdir, a_ref, xc_ref, r1_ref, rS2_ref,
+               out_ref):
+    c = pl.program_id(0)
+    sh = (1, B, S[1], S[2])
+    g0 = pl.program_id(1) * B + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    v = xc_ref[...]
+    Ac = a_ref[0, c]
+
+    # stage j=0 (rows): sources are the ORIGINAL boundary rows (stage 0
+    # runs first in the reference's sequence)
+    if 0 in perdir:
+        v = jnp.where(g0 == 0, rS2_ref[...], v)
+        v = jnp.where(g0 == S[0] - 1, r1_ref[...], v)
+    else:
+        tang = jnp.where(g0 == 0, r1_ref[...],
+                         jnp.where(g0 == S[0] - 1, rS2_ref[...], v))
+        hi = (g0 == S[0] - 1) & (c != 0) if save_exit else (g0 == S[0] - 1)
+        dirv = jnp.where((g0 <= 1) | hi, Ac, v)
+        v = jnp.where(c == 0, dirv, tang)
+
+    # stages j=1,2 (sublanes/lanes): in-row plane selects of the updated v
+    for j, ax in ((1, 2), (2, 3)):
+        k = jax.lax.broadcasted_iota(jnp.int32, sh, ax)
+        Sj = S[j]
+        pl_ = lambda p: jax.lax.slice_in_dim(v, p, p + 1, axis=ax)
+        if j in perdir:
+            v = jnp.where(k == 0, pl_(Sj - 2), v)
+            v = jnp.where(k == Sj - 1, pl_(1), v)
+        else:
+            tang = jnp.where(k == 0, pl_(1),
+                             jnp.where(k == Sj - 1, pl_(Sj - 2), v))
+            dirv = jnp.where((k <= 1) | (k == Sj - 1), Ac, v)
+            v = jnp.where(c == j, dirv, tang)
+    out_ref[...] = v
+
+
+def bc3d_pallas(u, A, save_exit=False, perdir=(), interpret=False,
+                block=None):
+    """BC-filled copy of the stacked (3, S0, S1, S2) velocity field in one
+    fused sweep (bitwise-equal to the DUS chain in `ops.bc.bc_vector`)."""
+    S = u.shape[1:]
+    dtype = u.dtype
+    B = BLOCK_BC if block is None else block
+    G = pl.cdiv(S[0], B)
+    Aarr = jnp.stack([jnp.asarray(a, dtype) for a in A]).reshape(1, 3)
+    slab = pl.BlockSpec((1, B, S[1], S[2]), lambda c, g: (c, g, 0, 0))
+    row = lambda p: pl.BlockSpec((1, 1, S[1], S[2]),
+                                 lambda c, g, p=p: (c, p, 0, 0))
+    a_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
+        else pl.BlockSpec()
+    return pl.pallas_call(
+        partial(_bc_kernel, S, B, bool(save_exit), tuple(perdir)),
+        grid=(3, G),
+        in_specs=[a_spec, slab, row(1), row(S[0] - 2)],
+        out_specs=slab,
+        out_shape=jax.ShapeDtypeStruct(u.shape, dtype),
+        interpret=interpret,
+    )(Aarr, u, u, u)
+
+
+def use_bc3d(S, dtype) -> bool:
+    """Dispatch gate for the fused BC kernel: big 3D f32 on a single TPU.
+    Mirrors `use_blocked`; sharded layouts keep the GSPMD-safe DUS path
+    (the caller checks its own ``sharded`` flag before this gate)."""
+    return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and math.prod(S) >= 2_000_000 and S[0] >= BLOCK_BC)
+
+
+# --- fused projection tail (big 3D, single-device) -------------------------
+#
+# The projection's velocity correction (`project!` tail, src/Flow.jl:141-145)
+# is three chained XLA ops — interior μ₀-weighted gradient, ghost-pad,
+# u-subtract, plus the p=x/dt rescale — measured at ~4.4 ms/call at 258³
+# (PERF.md round-3 decomposition) against a ~1.3 ms traffic bound.  This
+# kernel emits u_new and p in ONE sweep: the axis-0 backward difference
+# reads one clamped halo row (its garbage reaches only ghost-row outputs,
+# which pass u through unchanged), axes 1/2 are sublane/lane rolls, and
+# dt rides SMEM (it is traced — the CFL feedback loop).
+
+BLOCK_PR = 1  # 24 resident rows at B=1 ~= 9.7 MB VMEM
+
+
+def _project_kernel(S, B, dtype, dt_ref, x_ref, xu_ref, L_ref, u_ref,
+                    uo_ref, p_ref):
+    sh = (B, S[1], S[2])
+    g0 = pl.program_id(0) * B + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    g1 = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    g2 = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    m = ((g0 >= 1) & (g0 <= S[0] - 2) & (g1 >= 1) & (g1 <= S[1] - 2)
+         & (g2 >= 1) & (g2 <= S[2] - 2))
+    xc = x_ref[...]
+    if B == 1:
+        xm0 = xu_ref[...]
+    else:
+        xm0 = jnp.concatenate([xu_ref[...], xc[:B - 1]], axis=0)
+    u = u_ref[...]
+    L = L_ref[...]
+    upd0 = L[0] * (xc - xm0)
+    upd1 = L[1] * (xc - _sub_roll(xc, -1))
+    upd2 = L[2] * (xc - _lane_roll(xc, -1))
+    upd = jnp.stack([upd0, upd1, upd2], axis=0)
+    uo_ref[...] = jnp.where(m[None], u - upd, u).astype(dtype)
+    p_ref[...] = (xc / dt_ref[0, 0]).astype(dtype)
+
+
+def project3d_pallas(L, x, u, dt_eff, interpret=False, block=None):
+    """(u - pad_interior(L∘∇x), x/dt) in one fused sweep (dense levels)."""
+    S = x.shape
+    dtype = x.dtype
+    B = BLOCK_PR if block is None else block
+    G = pl.cdiv(S[0], B)
+    up = lambda g: (jnp.maximum(g * B - 1, 0), 0, 0)
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda g: (g, 0, 0))
+    slab4 = pl.BlockSpec((3, B, S[1], S[2]), lambda g: (0, g, 0, 0))
+    dt_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
+        else pl.BlockSpec()
+    dt_arr = jnp.asarray(dt_eff, dtype).reshape(1, 1)
+    u_new, p = pl.pallas_call(
+        partial(_project_kernel, S, B, dtype),
+        grid=(G,),
+        in_specs=[dt_spec, slab,
+                  pl.BlockSpec((1, S[1], S[2]), up), slab4, slab4],
+        out_specs=[slab4, slab],
+        out_shape=[jax.ShapeDtypeStruct((3,) + S, dtype),
+                   jax.ShapeDtypeStruct(S, dtype)],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(dt_arr, x, x, L, u)
+    return u_new, p
+
+
+def use_project3d(S, dtype) -> bool:
+    """Gate for the fused projection tail: big 3D f32, single TPU, dense
+    level (the banded window branch keeps the XLA path)."""
+    return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and math.prod(S) >= 2_000_000 and S[0] >= BLOCK_PR)
+
+
+# --- fused divergence + solver warm start (big 3D, single-device) ----------
+#
+# The projection head computes z = div(u) (XLA materializes the six
+# shifted operand streams: ~7 passes against a 4-pass bound) and the
+# dt-scaled warm start x = p*dt.  One sweep emits both: u's axis-0
+# forward difference reads one clamped down-halo row, axes 1/2 are
+# sublane/lane rolls, and p rides along for the rescale.
+
+
+def _div_kernel(S, B, dtype, dt_ref, u_ref, ud_ref, p_ref, z_ref, x_ref):
+    sh = (B, S[1], S[2])
+    g0 = pl.program_id(0) * B + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    g1 = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    g2 = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    m = ((g0 >= 1) & (g0 <= S[0] - 2) & (g1 >= 1) & (g1 <= S[1] - 2)
+         & (g2 >= 1) & (g2 <= S[2] - 2))
+    u = u_ref[...]
+    if B == 1:
+        u0p = ud_ref[0]
+    else:
+        u0p = jnp.concatenate([u[0, 1:], ud_ref[0]], axis=0)   # u0[I+δ0]
+    # same summation association as flow.div: ((t0 + t1) + t2)
+    s = (u0p - u[0]) + (_sub_roll(u[1], +1) - u[1])
+    s = s + (_lane_roll(u[2], +1) - u[2])
+    z_ref[...] = jnp.where(m, s, 0.0).astype(dtype)
+    x_ref[...] = (p_ref[...] * dt_ref[0, 0]).astype(dtype)
+
+
+def div3d_pallas(u, p, dt_eff, interpret=False, block=None):
+    """(div(u) interior, p*dt) in one fused sweep."""
+    S = u.shape[1:]
+    dtype = u.dtype
+    B = BLOCK_PR if block is None else block
+    G = pl.cdiv(S[0], B)
+    dn = lambda g: (0, jnp.minimum(g * B + B, S[0] - 1), 0, 0)
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda g: (g, 0, 0))
+    slab4 = pl.BlockSpec((3, B, S[1], S[2]), lambda g: (0, g, 0, 0))
+    dt_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
+        else pl.BlockSpec()
+    dt_arr = jnp.asarray(dt_eff, dtype).reshape(1, 1)
+    return pl.pallas_call(
+        partial(_div_kernel, S, B, dtype),
+        grid=(G,),
+        in_specs=[dt_spec, slab4,
+                  pl.BlockSpec((1, 1, S[1], S[2]), dn), slab],
+        out_specs=[slab, slab],
+        out_shape=[jax.ShapeDtypeStruct(S, dtype),
+                   jax.ShapeDtypeStruct(S, dtype)],
+        interpret=interpret,
+    )(dt_arr, u, u, p)
+
+
 # --- analytic (far-field) Poisson stencil ----------------------------------
 #
 # On banded levels the operator away from the body is the constant-coefficient

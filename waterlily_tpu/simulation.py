@@ -199,7 +199,8 @@ class Simulation:
                                              cfg.exitBC, dtype,
                                              cfg.bbox_shape)
             return measure_fields(body0, S, t, eps0, cfg.perdir,
-                                  cfg.exitBC, dtype)
+                                  cfg.exitBC, dtype,
+                                  fuse_ok=not cfg.sharded)
 
         self._measure_all = _measure_all
 
