@@ -39,6 +39,64 @@ def test_blocked_mult(level_and_fields, block):
     assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
 
 
+def test_blocked_mult_bf16_coeffs(level_and_fields):
+    """bf16 L/D shadows (the level's reduced-precision operator stream):
+    the kernel equals the f32 slice-form operator applied to the SAME
+    bf16-rounded coefficients — the rounding is the only difference."""
+    from waterlily_tpu.ops.poisson import _mult_interior_arrays, _diag
+    from waterlily_tpu.grid import pad_interior
+    S, lev, x, r, eps = level_and_fields
+    L16 = lev.L.astype(jnp.bfloat16)
+    D16 = _diag(L16.astype(f32))  # production mix: bf16 taps, f32 diagonal
+    z_ref = pad_interior(_mult_interior_arrays(L16.astype(f32), D16, x))
+    z_pl, dot = mult3d_pallas(L16, D16, x, S, interpret=True, block=2,
+                              with_dot=True)
+    assert z_pl.dtype == f32
+    assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
+    assert np.isclose(float(dot), float(jnp.sum(z_ref * x)), rtol=1e-5)
+    # increment with the bf16 coefficient stream keeps x/r in f32
+    x2, r2 = increment3d_pallas(L16, D16, eps, x, r, S, interpret=True,
+                                block=2)
+    assert x2.dtype == f32 and r2.dtype == f32
+    assert np.allclose(np.asarray(r2), np.asarray(
+        r - pad_interior(_mult_interior_arrays(L16.astype(f32), D16, eps))),
+        atol=1e-5)
+
+
+def test_level_bf16_shadows(level_and_fields, monkeypatch):
+    """make_level builds L16/D16/iD16 exactly when the level is blocked +
+    bf16; _opLD and _rid pick the shadows; constrain-style replace clears
+    them."""
+    from waterlily_tpu.ops import poisson as pois
+    from waterlily_tpu.ops import pallas_stencil as ps
+    S, lev, x, r, eps = level_and_fields
+    assert lev.L16 is None  # CPU levels are never blocked
+    monkeypatch.setattr(ps, "use_blocked", lambda *a, **k: True)
+    monkeypatch.setattr(pois, "BF16_OP", True)
+    lev16 = pois.make_level(lev.L)
+    assert lev16.bf16_eps and lev16.L16 is not None
+    assert lev16.L16.dtype == jnp.bfloat16
+    assert lev16.iD16.dtype == jnp.bfloat16
+    # D16 must be the f32 diagonal DERIVED from the rounded taps (exact
+    # zero row sums -> weak diagonal dominance; bf16(D) diverges)
+    assert lev16.D16.dtype == f32
+    assert np.array_equal(np.asarray(lev16.D16),
+                          np.asarray(pois._diag(lev16.L16.astype(f32))))
+    La, Da = pois._opLD(lev16)
+    assert La is lev16.L16 and Da is lev16.D16
+    # the dead-cell guard (iD == 0) survives the rounding exactly
+    assert np.array_equal(np.asarray(lev16.iD16 == 0),
+                          np.asarray(lev16.iD == 0))
+    z = pois._rid(lev16, r)
+    assert z.dtype == f32
+    assert np.allclose(np.asarray(z),
+                       np.asarray(r * lev16.iD16.astype(f32)))
+    off = lev16.replace(L16=None, D16=None, iD16=None, bf16_eps=False)
+    La, Da = pois._opLD(off)
+    assert La is off.L and np.allclose(np.asarray(pois._rid(off, r)),
+                                       np.asarray(r * off.iD))
+
+
 @pytest.mark.parametrize("block", [2, 5])
 def test_blocked_mult_with_dot(level_and_fields, block):
     """In-kernel ⟨A·x, x⟩ partial sums (the PCG alpha denominator) match the

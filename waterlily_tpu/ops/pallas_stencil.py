@@ -82,11 +82,19 @@ def _mult_block(L, L0d, D, xc, xu, xd, mask, B):
     """A·x on a (B,S1,S2) slab from center + halo-row blocks.
 
     ``x`` blocks may arrive in bf16 (the smoother's reduced-precision
-    search direction); compute is always in the coefficient dtype."""
-    if xc.dtype != L.dtype:
-        xc = xc.astype(L.dtype)
-        xu = xu.astype(L.dtype)
-        xd = xd.astype(L.dtype)
+    search direction) and so may the coefficient blocks (the level's
+    L16/D16 shadows — the HBM stream is halved); every tap is upcast to
+    the f32 compute dtype in registers, so the result is the bf16-rounded
+    operator applied in f32 arithmetic."""
+    cdt = jnp.float32 if L.dtype == jnp.bfloat16 else L.dtype
+    if L.dtype != cdt:
+        L = L.astype(cdt)
+        L0d = L0d.astype(cdt)
+        D = D.astype(cdt)
+    if xc.dtype != cdt:
+        xc = xc.astype(cdt)
+        xu = xu.astype(cdt)
+        xd = xd.astype(cdt)
     if B == 1:   # zero-size concat operands are invalid vector types
         xm, xp, L0p = xu, xd, L0d[None] if L0d.ndim == 2 else L0d
         L0 = L[0]
@@ -144,9 +152,10 @@ def _mult_kernel(S, B, dtype, with_dot, L_ref, L0d_ref, D_ref, xc_ref,
 def mult3d_pallas(L, Dd, x, S, interpret=False, block=None, with_dot=False):
     """z = A x via the blocked streaming kernel (periodic ghosts of ``x``
     must already be filled by the caller).  ``with_dot`` also returns
-    ⟨A·x, x⟩ accumulated in-kernel.  ``x`` may be bf16 (smoother search
-    direction); ``z`` and the dot are always in the coefficient dtype."""
-    dtype = L.dtype
+    ⟨A·x, x⟩ accumulated in-kernel.  ``x`` and/or the coefficients may be
+    bf16 (smoother search direction / the level's L16-D16 shadows); ``z``
+    and the dot are always f32 (compute upcasts in registers)."""
+    dtype = jnp.float32 if L.dtype == jnp.bfloat16 else L.dtype
     B = block_for(S, dtype) if block is None else block
     G = pl.cdiv(S[0], B)
     slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))

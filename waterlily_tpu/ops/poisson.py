@@ -34,6 +34,15 @@ def _off(D, i, v):
 __all__ = ["PoissonLevel", "make_level", "mult", "residual", "jacobi", "pcg",
            "smooth", "increment", "poisson_solve"]
 
+# Gate for the operator-coefficient shadows (PoissonLevel.L16/D16/iD16).
+# Kernel logic + algebra are pinned (interpret-mode f32-parity at 66³ with
+# every level blocked, tests/test_pallas_stencil.py), and the same-session
+# A/B measured 63.3 → 56.7 ms/step at 256³ — but the REAL-TPU run of the
+# full step still NaNs at step 1 (suspected Mosaic lowering of the
+# mixed-dtype stencil; docs/PERF.md round-3 addendum), so dispatch stays
+# off until that is root-caused on hardware.
+BF16_OP = False
+
 
 @struct.dataclass
 class PoissonLevel:
@@ -63,6 +72,26 @@ class PoissonLevel:
     # rounded direction used for the x update, so r == z_rhs - A x holds to
     # f32 precision — only the direction quality is (negligibly) affected.
     bf16_eps: bool = struct.field(pytree_node=False, default=False)
+    # Reduced-precision shadows of the operator coefficients, read by the
+    # blocked smoother/operator kernels (mult/residual/increment/_rid) in
+    # place of L/D/iD — taps are upcast to f32 in registers, so the level
+    # operator is the bf16-ROUNDED A applied in f32 arithmetic, used
+    # consistently by residual and every increment (r == z − A₁₆·x stays
+    # f32-exact).  L/D/iD themselves stay f32: the projection gradient,
+    # coefficient restriction and the iD==0 dead-cell masks are unchanged.
+    # CRITICAL CONSTRAINT: D16 is the f32 diagonal DERIVED FROM L16 (sums
+    # of bf16-representable values in f32 are exact), NOT bf16(D).
+    # Rounding D independently of the taps breaks the operator's exact zero
+    # row sums → A₁₆ loses weak diagonal dominance → the PCG smoother can
+    # DIVERGE: at 256³ the second step's pressure solve amplified to NaN in
+    # ~25 iterations (reproduced on CPU at 66³; the consistent-D form
+    # matches the f32 pois_n trajectory exactly).  iD16 is bf16 of 1/D16 —
+    # a preconditioner, so its rounding only perturbs convergence paths.
+    # Built alongside ``bf16_eps``; halves the smoother's dominant HBM
+    # stream (L is 12 of ~24 B/cell of each stencil call).
+    L16: jax.Array | None = None
+    D16: jax.Array | None = None
+    iD16: jax.Array | None = None
     # the device mesh for spatially-decomposed levels whose shape the mesh
     # divides evenly: routes the smoother through `parallel.shard_smooth`
     # (shard_map + ppermute halos + per-shard Pallas kernels) — the
@@ -106,11 +135,31 @@ def make_level(L: jax.Array, perdir: tuple = (), sharded: bool = False,
     else:
         banded, box_shape, box_start = False, None, None
     blocked = (not banded) and use_blocked(L.shape[1:], L.dtype, sharded)
+    bf16 = bool(bf16_eps) and blocked and L.dtype == jnp.float32
+    if bf16 and BF16_OP:
+        L16 = L.astype(jnp.bfloat16)
+        # diagonal derived from the ROUNDED taps, kept f32 — exact zero row
+        # sums preserve weak diagonal dominance (see the field docstring;
+        # bf16(D) makes the smoother diverge)
+        D16 = _diag(L16.astype(L.dtype))
+        g16 = D16 * D16 < 2 * eps
+        iD16 = jnp.where(g16, 0.0,
+                         1.0 / jnp.where(g16, 1.0, D16)).astype(jnp.bfloat16)
+        shadows = dict(L16=L16, D16=D16, iD16=iD16)
+    else:
+        shadows = {}
     return PoissonLevel(L=L, D=Dd, iD=iD, blocked=blocked,
                         perdir=perdir, sharded=sharded, banded=banded,
                         c=float(c), box_shape=box_shape, box_start=box_start,
-                        bf16_eps=bool(bf16_eps) and blocked
-                        and L.dtype == jnp.float32)
+                        bf16_eps=bf16, **shadows)
+
+
+def _opLD(lev: PoissonLevel):
+    """(L, D) streams for the blocked stencil kernels: the bf16 shadows when
+    built (taps upcast to f32 inside the kernel), the f32 arrays otherwise."""
+    if lev.L16 is not None:
+        return lev.L16, lev.D16
+    return lev.L, lev.D
 
 
 def _mult_interior_arrays(L, Dd, x) -> jax.Array:
@@ -224,9 +273,11 @@ def _rid(lev: PoissonLevel, r: jax.Array) -> jax.Array:
     """r * iD (the Jacobi-preconditioned residual), banded-aware.
 
     Far field: iD = 1/D with the analytic diagonal (no body guard needed —
-    the guard only trips inside the body, which lies in the box)."""
+    the guard only trips inside the body, which lies in the box).  Blocked
+    levels with bf16 shadows read iD16 (bf16×f32 promotes to f32; zeros —
+    the dead-cell guard — are exact in bf16)."""
     if not lev.banded:
-        return r * lev.iD
+        return r * (lev.iD16 if lev.iD16 is not None else lev.iD)
     D = len(r.shape)
     iD_far = 1.0 / _ana_D_interior(r.shape, lev.perdir, r.dtype, lev.c)
     s = interior_view(r, D) * iD_far.astype(r.dtype)
@@ -241,7 +292,7 @@ def mult(lev: PoissonLevel, x: jax.Array) -> jax.Array:
         return _banded_ax(lev, x)
     if lev.blocked:
         from .pallas_stencil import mult3d_pallas
-        return mult3d_pallas(lev.L, lev.D, x, x.shape)
+        return mult3d_pallas(*_opLD(lev), x, x.shape)
     return pad_interior(_mult_interior(lev, x))
 
 
@@ -260,7 +311,7 @@ def residual(lev: PoissonLevel, x: jax.Array, z: jax.Array) -> jax.Array:
     else:
         if lev.blocked:
             from .pallas_stencil import mult3d_pallas
-            ax = interior_view(mult3d_pallas(lev.L, lev.D, xb, x.shape), D)
+            ax = interior_view(mult3d_pallas(*_opLD(lev), xb, x.shape), D)
         else:
             ax = _mult_interior(lev, xb)
         r_int = jnp.where(interior_view(lev.iD, D) == 0, 0.0,
@@ -285,7 +336,7 @@ def increment(lev: PoissonLevel, x, r, eps):
             # (and A·eps computed in f32 from it), so r stays consistent
             eps = eps.astype(jnp.bfloat16)
         eps = bc_scalar_periodic(eps, lev.perdir)
-        return increment3d_pallas(lev.L, lev.D, eps, x, r, x.shape)
+        return increment3d_pallas(*_opLD(lev), eps, x, r, x.shape)
     ae = mult(lev, eps)
     return x + eps, r - ae
 
@@ -341,7 +392,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
             z, denom = _banded_ax(lev, eps, with_dot=True)
         elif lev.blocked:
             from .pallas_stencil import mult3d_pallas
-            z, denom = mult3d_pallas(lev.L, lev.D, eps, eps.shape,
+            z, denom = mult3d_pallas(*_opLD(lev), eps, eps.shape,
                                      with_dot=True)
         else:
             z = mult(lev, eps)

@@ -128,7 +128,8 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
     for lev in levels:
         S = lev.D.shape
         lev = lev.replace(sharded=True, blocked=False, banded=False,
-                          bf16_eps=False, box_shape=None, box_start=None)
+                          bf16_eps=False, box_shape=None, box_start=None,
+                          L16=None, D16=None, iD16=None)
         ok = all((S[k] - 2) >= min_per_shard * mesh.shape[names[k]]
                  for k in range(min(len(names), len(S))))
         if ok:
