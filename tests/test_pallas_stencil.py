@@ -179,6 +179,55 @@ def test_blocked_increment(level_and_fields, block):
     assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
 
 
+def test_bf16_shadow_solve_matches_f32(monkeypatch):
+    """Integration pin for the reduced-precision operator path: a full
+    multigrid solve on blocked levels with L16/D16/iD16 shadows (interpret
+    mode) converges with the SAME iteration count as the f32 operator and
+    comparable residual quality.  This is the oracle that catches the
+    independently-rounded-diagonal failure class (docs/PERF.md round 3:
+    bf16(D) breaks the zero row sums and the smoother diverges)."""
+    from waterlily_tpu.ops import poisson as pois
+    from waterlily_tpu.ops import pallas_stencil as ps
+    from waterlily_tpu.ops.multigrid import build_levels, ml_solve
+    from waterlily_tpu.grid import field_dot
+
+    S = (26, 26, 26)
+    key = jax.random.PRNGKey(3)
+    # band-like coefficients: mostly exact 1.0 (bf16-exact far field) with
+    # a fractional shell, like a body's mu0
+    L = jnp.ones((3,) + S, f32)
+    frac = jax.random.uniform(key, (3,) + S) < 0.15
+    L = jnp.where(frac, jax.random.uniform(jax.random.PRNGKey(4), (3,) + S,
+                                           dtype=f32), L)
+    L = bc_vector(L, (0.0,) * 3).astype(f32)
+    z = jnp.zeros(S, f32).at[1:-1, 1:-1, 1:-1].set(
+        jax.random.normal(jax.random.PRNGKey(5), (24, 24, 24), dtype=f32))
+    z = z - jnp.mean(z)
+
+    monkeypatch.setattr(ps, "use_blocked",
+                        lambda S_, dt_, sharded=False: not sharded)
+    for name in ("mult3d_pallas", "increment3d_pallas"):
+        orig = getattr(ps, name)
+        monkeypatch.setattr(ps, name,
+                            lambda *a, _o=orig, **k: _o(*a, **{**k,
+                                                       "interpret": True}))
+    levs_f32 = build_levels(L, bf16_eps=False)
+    monkeypatch.setattr(pois, "BF16_OP", True)
+    levs_16 = build_levels(L, bf16_eps=True)
+    assert levs_16[0].blocked and levs_16[0].L16 is not None
+
+    x0 = jnp.zeros(S, f32)
+    xa, ra, na = ml_solve(levs_f32, x0, z, tol=1e-4, itmx=8)
+    xb, rb, nb = ml_solve(levs_16, x0, z, tol=1e-4, itmx=8)
+    r2a, r2b = float(field_dot(ra, ra)), float(field_dot(rb, rb))
+    assert int(na) == int(nb), (int(na), int(nb))
+    assert np.isfinite(r2b) and r2b < 1e-4
+    assert r2b < 10 * max(r2a, 1e-12)
+    # solutions agree to the bf16 operator-perturbation level
+    scale = float(jnp.std(xa)) + 1e-12
+    assert float(jnp.max(jnp.abs(xa - xb))) < 0.05 * scale
+
+
 def test_blocked_conv_diff():
     from waterlily_tpu.ops.convect import conv_diff, quick
     from waterlily_tpu.ops.pallas_stencil import conv_diff3d_pallas
