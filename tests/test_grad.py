@@ -18,7 +18,11 @@ from waterlily_tpu.flow import FlowConfig, flow_init, mom_step
 from waterlily_tpu.ops.multigrid import build_levels, ml_solve
 
 f64 = jnp.float64
-L = 16
+# one TGV period on the smallest 2-MG-level grid: the grad==FD==jvp oracle
+# is grid-size-invariant.  Measured: these tests are trace/transpose-bound
+# (~30 s each on the 1-core CI box) and nearly size-INDEPENDENT — 16^2 with
+# 3 MG levels costs within 2 s of 8^2 with 2 — so this is their floor.
+L = 8
 KAPPA = 2 * np.pi / L
 
 
