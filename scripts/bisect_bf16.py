@@ -1,0 +1,112 @@
+"""Hardware bisect battery for the bf16-operator NaN.
+
+Runs the fine-level smoother machinery on a realistic 256^3 state in
+several configurations to localize the real-TPU divergence.  Each trial
+prints r2 evolution; garbage/NaN identifies the guilty ingredient.
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+from waterlily_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+import jax, jax.numpy as jnp
+import numpy as np
+import waterlily_tpu.ops.poisson as pois
+pois.BF16_OP = True
+from waterlily_tpu.models.cases import sphere_3d
+from waterlily_tpu.ops.poisson import (pcg, jacobi, residual, increment,
+                                       _rid, _opLD)
+from waterlily_tpu.ops.pallas_stencil import mult3d_pallas, increment3d_pallas
+from waterlily_tpu.grid import field_dot, pad_interior
+from waterlily_tpu.flow import div
+
+sim = sphere_3d(n=256, m=256, Re=3700, dtype=jnp.float32)
+state, aux = sim._step_static_d(jax.tree.map(lambda a: a + 0, sim.flow),
+                                sim.levels)
+print("step0 pois_n:", [int(v) for v in aux["pois_n"]], flush=True)
+fine = sim.levels[0]
+fine_f32 = fine.replace(L16=None, D16=None, iD16=None)
+assert fine.L16 is not None
+S = state.p.shape
+
+z_rhs = jax.jit(div)(state.u)
+r0 = jax.jit(residual)(fine, state.p, z_rhs)
+print("r0: r2=%.4e nan=%d" % (float(field_dot(r0, r0)),
+                              int(jnp.isnan(r0).sum())), flush=True)
+
+
+def r2(r):
+    return float(field_dot(r, r))
+
+
+def trial_pcg(tag, lev, sweeps=5):
+    x, r = state.p, r0
+    f = jax.jit(pcg, static_argnames=("it",))
+    vals = []
+    for _ in range(sweeps):
+        x, r = f(lev, x, r, it=6)
+        vals.append(r2(r))
+    print(f"{tag}: r2 per sweep: " + " ".join(f"{v:.3e}" for v in vals),
+          flush=True)
+
+
+# (a) full shadow pcg -- expect the failure
+trial_pcg("a. pcg shadows (full)   ", fine)
+# (b) f32 reference
+trial_pcg("b. pcg f32 operator     ", fine_f32)
+# (c) shadows but f32 eps
+trial_pcg("c. shadows, f32 eps     ", fine.replace(bf16_eps=False))
+# (d) shadows but f32 iD (no iD16)
+trial_pcg("d. shadows, f32 iD      ", fine.replace(iD16=None))
+# (e) jacobi-only loop (increment kernel without the fused dot)
+def trial_jac(tag, lev, sweeps=8):
+    x, r = state.p, r0
+    f = jax.jit(jacobi)
+    vals = []
+    for _ in range(sweeps):
+        x, r = f(lev, x, r)
+        vals.append(r2(r))
+    print(f"{tag}: r2 per sweep: " + " ".join(f"{v:.3e}" for v in vals),
+          flush=True)
+
+trial_jac("e. jacobi shadows       ", fine)
+
+# (f) repeated-execution kernel integrity: chain 40 mult calls, compare a
+# checksum against the dense-emulated value recomputed every 10 calls
+L16, D16 = _opLD(fine)
+from waterlily_tpu.ops.poisson import _mult_interior_arrays
+
+@jax.jit
+def dense16(x):
+    return pad_interior(_mult_interior_arrays(
+        L16.astype(jnp.float32), D16, x))
+
+@jax.jit
+def kstep(x):
+    z = mult3d_pallas(L16, D16, x, S)
+    return x * jnp.float32(0.97) + jnp.float32(1e-3) * z
+
+x = state.p
+for k in range(40):
+    x = kstep(x)
+    if k % 10 == 9:
+        zk = mult3d_pallas(L16, D16, x, S)
+        zd = dense16(x)
+        d = float(jnp.max(jnp.abs(zk - zd)))
+        print(f"f. chained call {k}: |kern-dense|max={d:.3e} "
+              f"xnan={int(jnp.isnan(x).sum())}", flush=True)
+
+# (g) with_dot repeated: does the fused-dot variant corrupt under repetition?
+@jax.jit
+def kstep_dot(x):
+    z, dot = mult3d_pallas(L16, D16, x.astype(jnp.bfloat16), S, with_dot=True)
+    return x * jnp.float32(0.97) + jnp.float32(1e-3) * z, dot
+
+x = state.p
+for k in range(40):
+    x, dot = kstep_dot(x)
+    if k % 10 == 9:
+        e16 = x.astype(jnp.bfloat16)
+        zd = dense16(e16.astype(jnp.float32))
+        dd = float(field_dot(zd, e16.astype(jnp.float32)))
+        print(f"g. chained dot call {k}: dot={float(dot):.6e} dense={dd:.6e} "
+              f"xnan={int(jnp.isnan(x).sum())}", flush=True)
