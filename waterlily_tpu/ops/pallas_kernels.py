@@ -160,6 +160,13 @@ def pcg_auto(lev, x, r, it: int = 6, xla_pcg=None):
     D = lev.L.shape[0]
     use = (HAS_PALLAS
            and not lev.sharded  # GSPMD can't partition a Mosaic custom call
+           # the fused kernel applies the f32 operator; a level carrying
+           # bf16 shadows (L16) maintains its state with the ROUNDED A16
+           # everywhere else, and mixing the two operators in one solve is
+           # an inconsistency CG amplifies.  Today the gates cannot overlap
+           # (blocked needs >=2M cells, which never fits VMEM_LIMIT), but
+           # keep the exclusion explicit against future gate changes.
+           and lev.L16 is None
            and jax.default_backend() == "tpu"
            and x.dtype == jnp.float32
            and len(x.shape) >= 2
