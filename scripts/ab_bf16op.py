@@ -28,12 +28,16 @@ def strip(levels):
     return tuple(l.replace(L16=None, D16=None, iD16=None) for l in levels)
 
 
-def run(sim, levels, state, nstep):
+def run(sim, levels, state, nstep, tag=""):
     pois, dts = [], []
-    for _ in range(nstep):
+    first_nan = None
+    for k in range(nstep):
         state, aux = sim._step_static_d(state, levels)
         pois.append(tuple(int(v) for v in jnp.atleast_1d(aux["pois_n"])))
         dts.append(float(aux["dt"]))
+        if first_nan is None and dts[-1] != dts[-1]:  # NaN dt = cheapest probe
+            first_nan = k
+            print(f"  [{tag}] dt first NaN at step {k}", flush=True)
     jax.block_until_ready(state.u)
     return state, pois, dts
 
@@ -78,23 +82,28 @@ def main():
         print(f"speedup: {msA / msB:.3f}x")
 
     # parity: pois_n sequence + dt trajectory from the same initial state
-    _, pA, dA = run(sim, levA, jax.tree.map(lambda a: a + 0, base), NSTEP)
-    stB2, pB, dB = run(sim, levB, jax.tree.map(lambda a: a + 0, base), NSTEP)
+    stA2, pA, dA = run(sim, levA, jax.tree.map(lambda a: a + 0, base), NSTEP,
+                       tag="A")
+    stB2, pB, dB = run(sim, levB, jax.tree.map(lambda a: a + 0, base), NSTEP,
+                       tag="B")
     same = pA == pB
     print(f"pois_n A: {pA}")
     print(f"pois_n B: {pB}")
     print(f"pois_n identical: {same}")
     import numpy as np
-    uB = np.asarray(stB2.u)
-    print(f"B final umax={np.abs(uB).max():.4f} u_nan={np.isnan(uB).sum()}")
+    for tag, st in (("A", stA2), ("B", stB2)):
+        uu = np.asarray(st.u)
+        print(f"{tag} final umax={np.abs(uu).max():.4f} "
+              f"u_nan={np.isnan(uu).sum()}")
     ddt = max(abs(a - b) / abs(a) for a, b in zip(dA, dB))
     print(f"max rel dt diff over {NSTEP} steps: {ddt:.3e}")
 
-    # residual quality of one fresh solve on the evolved state
+    # residual quality of one fresh solve: each variant solves on ITS OWN
+    # evolved state (a shared-B z poisons the A probe once B has NaNs)
     from waterlily_tpu.ops.multigrid import ml_solve
     from waterlily_tpu.flow import div
-    z = jax.jit(div)(stB2.u)
-    for tag, lv in (("A", levA), ("B", levB)):
+    for tag, lv, st in (("A", levA, stA2), ("B", levB, stB2)):
+        z = jax.jit(div)(st.u)
         x, r, n = jax.jit(ml_solve, static_argnames=())(lv, jnp.zeros_like(z), z)
         r2 = float(jnp.vdot(r, r))
         print(f"solve[{tag}]: n={int(n)} r2={r2:.3e}")
