@@ -31,7 +31,7 @@ def level_and_fields():
     return S, lev, x, r, eps
 
 
-@pytest.mark.parametrize("block", [2, 4, 5])  # 5 exercises the ragged path
+@pytest.mark.parametrize("block", [1, 2, 4, 5])  # 5 = ragged, 1 = 320^3-class dispatch
 def test_blocked_mult(level_and_fields, block):
     S, lev, x, r, eps = level_and_fields
     z_ref = mult(lev, x)
@@ -97,7 +97,7 @@ def test_level_bf16_shadows(level_and_fields, monkeypatch):
                                        np.asarray(r * off.iD))
 
 
-@pytest.mark.parametrize("block", [2, 5])
+@pytest.mark.parametrize("block", [1, 2, 5])
 def test_blocked_mult_with_dot(level_and_fields, block):
     """In-kernel ⟨A·x, x⟩ partial sums (the PCG alpha denominator) match the
     separate vdot to fp accumulation-order noise."""
@@ -125,6 +125,16 @@ def test_stream_mult_matches(level_and_fields, block):
     z_ref16 = mult(lev, xb.astype(f32))
     z_pl16 = mult3d_stream(lev.L, lev.D, xb, S, interpret=True, block=block)
     assert np.allclose(np.asarray(z_ref16), np.asarray(z_pl16), atol=1e-5)
+    # bf16 coefficient shadows: accumulation and output must stay f32 (the
+    # 'bf16-rounded operator applied in f32 arithmetic' contract)
+    from waterlily_tpu.ops.poisson import _mult_interior_arrays, _diag
+    from waterlily_tpu.grid import pad_interior
+    L16 = lev.L.astype(jnp.bfloat16)
+    D16 = _diag(L16.astype(f32))
+    z_refc = pad_interior(_mult_interior_arrays(L16.astype(f32), D16, x))
+    z_plc = mult3d_stream(L16, D16, x, S, interpret=True, block=block)
+    assert z_plc.dtype == f32
+    assert np.allclose(np.asarray(z_refc), np.asarray(z_plc), atol=1e-5)
 
 
 @pytest.mark.parametrize("block", [2, 4])
@@ -169,7 +179,7 @@ def test_ana_mult_matches_banded_far_field(level_and_fields, block):
     assert np.isclose(float(dot), float(jnp.sum(z_ref * x)), rtol=1e-5)
 
 
-@pytest.mark.parametrize("block", [2, 4])
+@pytest.mark.parametrize("block", [1, 2, 4])
 def test_blocked_increment(level_and_fields, block):
     S, lev, x, r, eps = level_and_fields
     x_ref, r_ref = increment(lev, x, r, eps)

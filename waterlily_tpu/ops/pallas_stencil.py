@@ -261,7 +261,10 @@ def _stream_compute(S, B, g, L1, L2, Dd, xcar, l0car, x_in, l0_in):
     """A·x rows [(g-1)B, gB) from the carries + current slab's first row.
 
     Returns (z, xc) with z where-masked to zero on global ghosts."""
-    dtype = L1.dtype
+    # same contract as the halo-row kernels: bf16 coefficients are upcast
+    # and applied in f32 registers (the bf16-rounded operator in f32
+    # arithmetic) — never accumulate in bf16
+    dtype = jnp.float32 if L1.dtype == jnp.bfloat16 else L1.dtype
     xm = xcar[0:B]
     xc = xcar[1:B + 1]
     if B == 1:   # zero-size concat operands are invalid vector types
@@ -271,7 +274,12 @@ def _stream_compute(S, B, g, L1, L2, Dd, xcar, l0car, x_in, l0_in):
         L0p = jnp.concatenate([l0car[1:B], l0_in[0:1]], axis=0)
     if xc.dtype != dtype:
         xm, xc, xp = (a.astype(dtype) for a in (xm, xc, xp))
+    if L1.dtype != dtype:
+        L1, L2 = L1.astype(dtype), L2.astype(dtype)
+        Dd = Dd.astype(dtype)
     L0 = l0car[0:B]
+    if L0.dtype != dtype:
+        L0, L0p = L0.astype(dtype), L0p.astype(dtype)
     s = xc * Dd + xm * L0 + xp * L0p
     s = s + _sub_roll(xc, -1) * L1 + _sub_roll(xc, +1) * _sub_roll(L1, +1)
     s = s + _lane_roll(xc, -1) * L2 + _lane_roll(xc, +1) * _lane_roll(L2, +1)
@@ -334,7 +342,9 @@ def mult3d_stream(L, Dd, x, S, interpret=False, block=None, with_dot=False):
     """z = A·x with every input row fetched from HBM exactly once (carried-
     rows streaming; see the section comment).  Falls back to the halo-row
     kernel when the slab height does not divide S[0]."""
-    dtype = L.dtype
+    # outputs/accumulation in f32 even for bf16 coefficient streams (the
+    # carries stay in storage dtype; _stream_compute upcasts in registers)
+    dtype = jnp.float32 if L.dtype == jnp.bfloat16 else L.dtype
     B = block_for(S, dtype) if block is None else block
     if S[0] % B != 0:
         return mult3d_pallas(L, Dd, x, S, interpret=interpret, block=block,
@@ -354,7 +364,7 @@ def mult3d_stream(L, Dd, x, S, interpret=False, block=None, with_dot=False):
         out_specs=out_specs if with_dot else out_specs[0],
         out_shape=out_shape if with_dot else out_shape[0],
         scratch_shapes=[pltpu.VMEM((B + 1, S[1], S[2]), x.dtype),
-                        pltpu.VMEM((B, S[1], S[2]), dtype)],
+                        pltpu.VMEM((B, S[1], S[2]), L.dtype)],
         compiler_params=_stream_params(),
         interpret=interpret,
     )(x, L[0], L[1], L[2], Dd)
@@ -394,7 +404,7 @@ def increment3d_stream(L, Dd, eps, x, r, S, interpret=False, block=None):
                                lambda g: (jnp.maximum(g - 1, 0), 0, 0)),
         out_shape=jax.ShapeDtypeStruct(S, dtype),
         scratch_shapes=[pltpu.VMEM((B + 1, S[1], S[2]), eps.dtype),
-                        pltpu.VMEM((B, S[1], S[2]), dtype)],
+                        pltpu.VMEM((B, S[1], S[2]), L.dtype)],
         input_output_aliases={5: 0},
         compiler_params=_stream_params(),
         interpret=interpret,

@@ -29,7 +29,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..grid import axis_coord
 
-__all__ = ["halo_exchange", "shardmap_mult", "spatial_specs"]
+__all__ = ["halo_exchange", "shardmap_mult", "spatial_specs",
+           "shift_up", "ghost_mask_local", "get_shard_map"]
+
+
+def get_shard_map():
+    """`jax.shard_map`, falling back to the pre-0.4.35 experimental path."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
 
 
 def spatial_specs(mesh: Mesh, D: int):
@@ -46,6 +56,40 @@ def _axis_shards(mesh: Mesh, D: int):
     names = [n for n in mesh.axis_names if n != "r"]
     return ([(names[k], mesh.shape[names[k]]) if k < len(names) else (None, 1)
              for k in range(D)])
+
+
+def shift_up(a, d, mesh: Mesh, ax):
+    """a_global[j+1] along axis d from the local block: local shift + ONE
+    received plane.
+
+    The only L communication the stencil needs — the upper-face
+    coefficient — so each component costs a single ppermute (the appended
+    top plane is zero on the last shard / unsharded axes, where it only
+    feeds masked global-ghost outputs).  Must be called inside `shard_map`.
+    """
+    name, k = ax[d]
+    lo = jax.lax.slice_in_dim(a, 0, 1, axis=d)
+    if k > 1:
+        bwd = [((i + 1) % k, i) for i in range(k)]
+        recv = jax.lax.ppermute(lo, name, bwd)
+        recv = jnp.where(jax.lax.axis_index(name) == k - 1, 0.0, recv)
+    else:
+        recv = jnp.zeros_like(lo)
+    rest = jax.lax.slice_in_dim(a, 1, None, axis=d)
+    return jnp.concatenate([rest, recv], axis=d)
+
+
+def ghost_mask_local(mesh: Mesh, S, loc_shape):
+    """Mask (local block) of cells NOT in the global ghost ring."""
+    ax = _axis_shards(mesh, len(S))
+    m = None
+    for d in range(len(S)):
+        name, k = ax[d]
+        base = (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
+        g = axis_coord(loc_shape, d) + base
+        md = (g >= 1) & (g <= S[d] - 2)
+        m = md if m is None else m & md
+    return m
 
 
 def halo_exchange(x_local, mesh: Mesh, D: int, width: int = 1):
@@ -89,11 +133,6 @@ def shardmap_mult(mesh: Mesh, L, Dd, x):
     placed with `spatial_specs` and each device computes its block after
     one `ppermute` round per sharded axis.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
     D = x.ndim
     S = x.shape
     ax = _axis_shards(mesh, D)
@@ -103,24 +142,6 @@ def shardmap_mult(mesh: Mesh, L, Dd, x):
                 f"axis {d}: size {S[d]} not divisible by {ax[d][1]} shards "
                 f"(build the mesh with mesh_for)")
     sc, vec = spatial_specs(mesh, D)
-
-    def shift_up(a, d):
-        """a_global[j+1] along axis d: local shift + ONE received plane.
-
-        The only L communication the stencil needs — the upper-face
-        coefficient — so each component costs a single ppermute (the
-        appended top plane is zero on the last shard / unsharded axes,
-        where it only feeds masked global-ghost outputs)."""
-        name, k = ax[d]
-        lo = jax.lax.slice_in_dim(a, 0, 1, axis=d)
-        if k > 1:
-            bwd = [((i + 1) % k, i) for i in range(k)]
-            recv = jax.lax.ppermute(lo, name, bwd)
-            recv = jnp.where(jax.lax.axis_index(name) == k - 1, 0.0, recv)
-        else:
-            recv = jnp.zeros_like(lo)
-        rest = jax.lax.slice_in_dim(a, 1, None, axis=d)
-        return jnp.concatenate([rest, recv], axis=d)
 
     def local(L_l, Dd_l, x_l):
         loc_shape = x_l.shape
@@ -138,18 +159,12 @@ def shardmap_mult(mesh: Mesh, L, Dd, x):
         z = x_l * Dd_l
         for i in range(D):
             z = (z + sl(xh, offv(i, -1)) * L_l[i]
-                 + sl(xh, offv(i, +1)) * shift_up(L_l[i], i))
+                 + sl(xh, offv(i, +1)) * shift_up(L_l[i], i, mesh, ax))
         # zero the global ghost ring (cells at global index 0 or S-1)
-        m = None
-        for d in range(D):
-            name, k = ax[d]
-            base = (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
-            g = axis_coord(loc_shape, d) + base
-            md = (g >= 1) & (g <= S[d] - 2)
-            m = md if m is None else m & md
-        return jnp.where(m, z, 0.0)
+        return jnp.where(ghost_mask_local(mesh, S, loc_shape), z, 0.0)
 
-    fn = shard_map(local, mesh=mesh, in_specs=(vec, sc, sc), out_specs=sc)
+    fn = get_shard_map()(local, mesh=mesh, in_specs=(vec, sc, sc),
+                         out_specs=sc)
     L = jax.device_put(L, NamedSharding(mesh, vec))
     Dd = jax.device_put(Dd, NamedSharding(mesh, sc))
     x = jax.device_put(x, NamedSharding(mesh, sc))

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from .halo import halo_exchange, _axis_shards, spatial_specs
+from .halo import (halo_exchange, _axis_shards, spatial_specs, shift_up,
+                   ghost_mask_local, get_shard_map)
 
 __all__ = ["shardmap_pcg", "can_shardmap", "local_mult"]
 
@@ -55,40 +56,10 @@ def can_shardmap(mesh: Mesh | None, S: tuple, perdir: tuple) -> bool:
                for k in range(min(len(names), len(S))))
 
 
-def _ghost_mask_local(mesh: Mesh, S, loc_shape):
-    """Mask (local block) of cells that are NOT in the global ghost ring."""
-    from ..grid import axis_coord
-    ax = _axis_shards(mesh, len(S))
-    m = None
-    for d in range(len(S)):
-        name, k = ax[d]
-        base = (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
-        g = axis_coord(loc_shape, d) + base
-        md = (g >= 1) & (g <= S[d] - 2)
-        m = md if m is None else m & md
-    return m
-
-
-def _shift_up(a, d, mesh, ax):
-    """a_global[j+1] along axis d from the local block: local shift + ONE
-    received plane (the upper-face coefficient — the only L communication
-    the stencil needs)."""
-    name, k = ax[d]
-    lo = jax.lax.slice_in_dim(a, 0, 1, axis=d)
-    if k > 1:
-        bwd = [((i + 1) % k, i) for i in range(k)]
-        recv = jax.lax.ppermute(lo, name, bwd)
-        recv = jnp.where(jax.lax.axis_index(name) == k - 1, 0.0, recv)
-    else:
-        recv = jnp.zeros_like(lo)
-    rest = jax.lax.slice_in_dim(a, 1, None, axis=d)
-    return jnp.concatenate([rest, recv], axis=d)
-
-
 def local_mult(mesh: Mesh, S, L_l, Lup, Dd_l, x_l, mask, pallas: str = "off"):
     """A·x on a shard's local block after one halo-exchange round.
 
-    ``Lup[i]`` is the pre-shifted upper-face coefficient (`_shift_up`,
+    ``Lup[i]`` is the pre-shifted upper-face coefficient (`halo.shift_up`,
     computed once per solve — L is constant across smoother iterations).
     ``pallas``: 'off' = XLA slice form (CPU/virtual-mesh), 'compiled' /
     'interpret' = the blocked streaming kernel on the halo'd local block
@@ -136,11 +107,6 @@ def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
     search directions in bf16 when ``lev.bf16_eps`` (same consistency
     argument — x and r are updated from the same rounded direction).
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
     mesh = lev.mesh
     D = x.ndim
     S = x.shape
@@ -159,8 +125,8 @@ def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
                   else "off")
 
     def local(L_l, Dd_l, iD_l, x_l, r_l):
-        mask = _ghost_mask_local(mesh, S, x_l.shape)
-        Lup = [_shift_up(L_l[i], i, mesh, ax) for i in range(D)]
+        mask = ghost_mask_local(mesh, S, x_l.shape)
+        Lup = [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
 
         def matvec(eps_l):
             return local_mult(mesh, S, L_l, Lup, Dd_l,
@@ -199,8 +165,9 @@ def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
             rho = jnp.where(dead, rho, rho2)
         return x_l, r_l
 
-    fn = shard_map(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
-                   out_specs=(sc, sc), check_vma=False)
+    fn = get_shard_map()(local, mesh=mesh,
+                         in_specs=(vec, sc, sc, sc, sc),
+                         out_specs=(sc, sc), check_vma=False)
     return fn(lev.L, lev.D, lev.iD, x, r)
 
 
@@ -224,10 +191,6 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
     covers both hot loops of the step with the kernel tier + source-
     visible communication.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
     from ..ops.convect import conv_core
 
     D = u.shape[0]
@@ -258,6 +221,6 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
             return r_ext[(slice(None),) + (slice(2, -2),) * D]
         return conv_core(uh, loc, S, base, nu, (), limiter)
 
-    fn = shard_map(local, mesh=mesh, in_specs=(vec,), out_specs=vec,
+    fn = get_shard_map()(local, mesh=mesh, in_specs=(vec,), out_specs=vec,
                    check_vma=False)
     return fn(u)

@@ -293,10 +293,13 @@ class Simulation:
                                           self._lv_box, bb,
                                           self._smoother_bf16)))
 
-        V, m0, m1, bb, ok, self.levels = jax.jit(_measure)(
+        V, m0, m1, bb, ok, levels = jax.jit(_measure)(
             jnp.asarray(t, cfg.dtype))
         if not bool(ok):
+            # all-or-nothing: leave self.levels/self.flow untouched so a
+            # caught error never leaves a mismatched operator/state pair
             raise RuntimeError(self._BAND_ERR)
+        self.levels = levels
         self.flow = self.flow._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
 
     _BAND_ERR = ("body band outgrew its static window: the d<2+eps region "
@@ -363,6 +366,10 @@ class Simulation:
                     # without it a band that outgrows its window would run
                     # every remaining step of the batch on truncated physics
                     if k % 32 == 31 and not bool(aux["band_ok"]):
+                        # flush the completed steps' history first so
+                        # len(dts) stays consistent with the advanced state
+                        self._append_history(jnp.stack(rows),
+                                             jnp.stack(dt_rows))
                         raise RuntimeError(self._BAND_ERR)
             pois_n = jnp.stack(rows)
             dts = jnp.stack(dt_rows)
@@ -372,13 +379,16 @@ class Simulation:
             self.flow, (pois_n, dts, oks) = self._scan_steps(
                 self.flow, self.levels, int(n), bool(remeasure))
         # reconstruct host history lazily (single device sync)
+        self._append_history(pois_n, dts)
+        if oks is not None and not bool(jnp.all(oks)):
+            raise RuntimeError(self._BAND_ERR)
+        return self
+
+    def _append_history(self, pois_n, dts):
         for row in np.asarray(pois_n):
             self.pois_n.append(row)
         for dt in np.asarray(dts):
             self.dts.append(float(dt))
-        if oks is not None and not bool(jnp.all(oks)):
-            raise RuntimeError(self._BAND_ERR)
-        return self
 
     def run_until(self, t_end, chunk=50, remeasure=True):
         """Integrate to dimensionless time ``t_end`` in `lax.scan` chunks,
