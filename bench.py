@@ -165,10 +165,39 @@ def small_config(name, make, remeasure=False, warm=600, steps=300):
     }
 
 
+def _wait_for_backend(max_wait_s=900, poll_s=30):
+    """The axon TPU tunnel has outage windows (docs/PERF.md round-3 notes);
+    probe it in a subprocess (a failed in-process init is cached by jax)
+    and wait up to ``max_wait_s`` so a transient outage at bench time does
+    not cost the round its numbers."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c",
+                                "import jax; jax.devices()"],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        time.sleep(poll_s)
+
+
 def main():
     quick = "--quick" in sys.argv
     from waterlily_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
+
+    if not _wait_for_backend():
+        # still ONE parseable JSON line rather than a stack trace
+        print(json.dumps({
+            "metric": "3D sphere (96,64,64) f32: MLUPS",
+            "value": None, "unit": "MLUPS", "vs_baseline": None,
+            "error": "device backend unavailable for 900 s at bench time"}))
+        return
 
     out = headline(quick)
     if not quick:
