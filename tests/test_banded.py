@@ -202,6 +202,14 @@ def test_band_outgrowing_window_raises():
         for _ in range(12):
             sim.step(remeasure=True)
 
+    # and a direct measure() past the window must be all-or-nothing: the
+    # caught error leaves the operator/state pair (levels, flow) untouched
+    lev0, mu0_0 = sim.levels, sim.flow.mu0
+    with pytest.raises(RuntimeError, match="band outgrew"):
+        sim.measure(t=10.0)
+    assert sim.levels is lev0
+    assert sim.flow.mu0 is mu0_0
+
 
 def test_set_body_swaps_geometry():
     """set_body rebuilds the jitted programs for the new geometry (plain
