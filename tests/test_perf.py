@@ -86,3 +86,24 @@ def test_dts_complete_on_every_path():
     sim3 = plate_sim()
     sim3.steps(2, remeasure=True)
     assert len(sim3.dts) == 2 + 1
+
+
+def test_unroll_megastep_matches_host_loop():
+    """Simulation(unroll=k) composes k steps into one program; the
+    trajectory and the dt/pois_n histories must match the single-step
+    host loop, including a batch size not divisible by k."""
+    N = 32
+    body = AutoBody(lambda x, t: jnp.abs(x[1] - N / 2) - 2)
+    kw = dict(nu=0.01, body=body, dtype=f32)
+    ref = Simulation((N, N), (1, 0), N, **kw)
+    ref.steps(5, remeasure=True)
+    un = Simulation((N, N), (1, 0), N, unroll=3, **kw)
+    un.steps(5, remeasure=True)  # one k=3 megastep + one k=2 remainder
+    assert len(un.dts) == 5 + 1
+    assert np.allclose(ref.dts, un.dts, atol=1e-6)
+    assert [tuple(p) for p in ref.pois_n] == [tuple(p) for p in un.pois_n]
+    assert np.allclose(np.asarray(ref.flow.u), np.asarray(un.flow.u),
+                       atol=1e-5)
+    # exactly two program variants (k=3 and the k=2 remainder), no retraces
+    un.steps(3, remeasure=True)
+    assert un._steps_k._cache_size() == 2

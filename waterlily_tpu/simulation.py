@@ -62,13 +62,19 @@ class Simulation:
     - ``banded_levels``: opt-in banded (windowed) Poisson operator on the
       multigrid levels.  Off by default: its per-smoother-iteration window
       fix-ups measured slower than the dense blocked kernels at 256³.
+    - ``unroll``: compose this many steps into ONE jitted program for the
+      `steps()` batching loop — amortizes the per-launch floor (~1.2 ms on
+      remote-tunnel runtimes) on launch-bound small grids without touching
+      `lax.scan` (whose loop-boundary carry handling is pathological there,
+      docs/PERF.md).  Program size and compile time grow ∝ unroll; default
+      1 (off) pending same-session A/B numbers per config class.
     """
 
     def __init__(self, dims, u_BC, L, dt=0.25, nu=0.0, g=None, U=None,
                  epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
                  log=False, mesh=None, bbox=True, fixed_iters=None,
-                 banded_levels=False, smoother_bf16=True):
+                 banded_levels=False, smoother_bf16=True, unroll=1):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
@@ -86,6 +92,7 @@ class Simulation:
         # r/x stay f32 and r == z - A x holds to f32 precision (see
         # PoissonLevel.bf16_eps); measured pois_n parity in docs/PERF.md
         self._smoother_bf16 = bool(smoother_bf16)
+        self._unroll = max(1, int(unroll))
         self._cfg_kw = dict(D=D, S=tuple(n + 2 for n in dims), nu=float(nu),
                             U=u_BC, g=g, perdir=tuple(perdir),
                             exitBC=bool(exitBC), dtype=dtype, limiter=limiter,
@@ -240,6 +247,21 @@ class Simulation:
         # peak HBM for large 3D runs
         self._scan_steps = jax.jit(scan_steps, static_argnums=(2, 3),
                                    donate_argnums=(0,))
+
+        def steps_k(state, levels, k, remeasure):
+            # k steps composed into one program (Python unroll, NOT scan):
+            # one launch per k steps with none of scan's carry handling
+            fn = step_remeasure if remeasure else step_static
+            ps, ds, oks = [], [], []
+            for _ in range(k):
+                state, aux = fn(state, levels)
+                ps.append(aux["pois_n"])
+                ds.append(aux["dt"])
+                oks.append(aux.get("band_ok", jnp.bool_(True)))
+            return state, (jnp.stack(ps), jnp.stack(ds), jnp.stack(oks))
+
+        self._steps_k = jax.jit(steps_k, static_argnums=(2, 3),
+                                donate_argnums=(0,))
         # `lax.scan` carries are pathological on remote-tunnel TPU runtimes
         # AT EVERY SIZE, not just multi-GB states (same-session A/B, round
         # 3: TGV 64² 5.6 host vs 14.1 ms/step scanned; plate 130² remeasure
@@ -353,7 +375,31 @@ class Simulation:
             return self
         remeasure = remeasure and not isinstance(self.body, NoBody)
         oks = None
-        if math.prod(self.cfg.S) >= self._loop_threshold:
+        if self._unroll > 1:
+            banded = remeasure and self.cfg.bbox_shape is not None
+            rows, dt_rows, ok_rows = [], [], []
+            done, since = 0, 0
+            while done < int(n):
+                kk = min(self._unroll, int(n) - done)
+                self.flow, (p, d, o) = self._steps_k(
+                    self.flow, self.levels, kk, bool(remeasure))
+                rows.append(p)
+                dt_rows.append(d)
+                done += kk
+                if banded:
+                    ok_rows.append(o)
+                    since += kk
+                    if since >= 32:  # same cadence as the single-step loop
+                        since = 0
+                        if not bool(jnp.all(o)):
+                            self._append_history(jnp.concatenate(rows),
+                                                 jnp.concatenate(dt_rows))
+                            raise RuntimeError(self._BAND_ERR)
+            pois_n = jnp.concatenate(rows)
+            dts = jnp.concatenate(dt_rows)
+            if ok_rows:
+                oks = jnp.concatenate(ok_rows)
+        elif math.prod(self.cfg.S) >= self._loop_threshold:
             fn = self._step_remeasure_d if remeasure else self._step_static_d
             rows, dt_rows, ok_rows = [], [], []
             for k in range(int(n)):
