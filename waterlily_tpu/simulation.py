@@ -437,7 +437,7 @@ class Simulation:
             self.dts.append(float(dt))
 
     def run_until(self, t_end, chunk=50, remeasure=True):
-        """Integrate to dimensionless time ``t_end`` in `lax.scan` chunks,
+        """Integrate to dimensionless time ``t_end`` in `steps()` batches,
         syncing only one scalar per chunk — the production stepping loop.
 
         Semantically matches `sim_step(t_end)` except the final chunk may
