@@ -211,6 +211,22 @@ def test_band_outgrowing_window_raises():
     assert sim.flow.mu0 is mu0_0
 
 
+def test_band_outgrowing_window_raises_unrolled():
+    """The megastep batching path (Simulation(unroll=k)) surfaces the same
+    hard error and flushes the completed steps' dt history first."""
+    from waterlily_tpu.simulation import Simulation
+
+    def grow(x, t):
+        return jnp.sqrt(jnp.sum((x - 24.0) ** 2)) - (4.0 + 4.0 * t)
+
+    sim = Simulation((48, 48), (1, 0), 8.0, nu=0.1, body=AutoBody(grow),
+                     bbox="force", unroll=4)
+    with pytest.raises(RuntimeError, match="band outgrew"):
+        sim.steps(48, remeasure=True)
+    # every completed step's dt is recorded (initial dt + k per megastep)
+    assert (len(sim.dts) - 1) % 4 == 0 and len(sim.dts) > 1
+
+
 def test_set_body_swaps_geometry():
     """set_body rebuilds the jitted programs for the new geometry (plain
     attribute assignment would keep simulating the traced-in body)."""
