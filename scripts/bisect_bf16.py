@@ -57,6 +57,9 @@ trial_pcg("b. pcg f32 operator     ", fine_f32)
 trial_pcg("c. shadows, f32 eps     ", fine.replace(bf16_eps=False))
 # (d) shadows but f32 iD (no iD16)
 trial_pcg("d. shadows, f32 iD      ", fine.replace(iD16=None))
+# (d2) L16/D16 only: f32 eps AND f32 iD — isolates the bf16 tap stream
+trial_pcg("d2. L16 only (f32 eps+iD)", fine.replace(iD16=None,
+                                                    bf16_eps=False))
 # (e) jacobi-only loop (increment kernel without the fused dot)
 def trial_jac(tag, lev, sweeps=8):
     x, r = state.p, r0
