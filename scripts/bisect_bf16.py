@@ -98,6 +98,34 @@ for k in range(40):
         print(f"f. chained call {k}: |kern-dense|max={d:.3e} "
               f"xnan={int(jnp.isnan(x).sum())}", flush=True)
 
+# (h) full step WITHOUT donation: the production failure ran the donated
+# step (_step_static_d); if the non-donated program is clean, the
+# differentiator is buffer donation/aliasing, not the kernels
+st = jax.tree.map(lambda a: a + 0, state)
+first_nan = None
+for k in range(40):
+    st, aux = sim._step_static(st, sim.levels)
+    d = float(aux["dt"])
+    if d != d:
+        first_nan = k
+        break
+print(f"h. non-donated step: first dt NaN at "
+      f"{'step %d' % first_nan if first_nan is not None else 'none in 40'}",
+      flush=True)
+
+# (h2) donated step for contrast (fresh state copy)
+st = jax.tree.map(lambda a: a + 0, state)
+first_nan = None
+for k in range(40):
+    st, aux = sim._step_static_d(st, sim.levels)
+    d = float(aux["dt"])
+    if d != d:
+        first_nan = k
+        break
+print(f"h2. donated step: first dt NaN at "
+      f"{'step %d' % first_nan if first_nan is not None else 'none in 40'}",
+      flush=True)
+
 # (g) with_dot repeated: does the fused-dot variant corrupt under repetition?
 @jax.jit
 def kstep_dot(x):
