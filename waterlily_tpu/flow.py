@@ -57,6 +57,9 @@ class FlowConfig(NamedTuple):
     bbox_shape: tuple | None = None  # static body-band box extents (banded BDIM)
     fixed_iters: int | None = None   # unroll exactly k pressure iterations:
     # reverse-mode differentiable step (jax.grad through mom_step)
+    implicit_diff: bool = False      # adjoint (implicit-function) gradients:
+    # reverse-mode via ONE extra Poisson solve instead of unrolling —
+    # memory-feasible at scale (see ops.multigrid.ml_solve_implicit)
 
 
 def bc_tuple(U, t, D, dtype):
@@ -154,7 +157,7 @@ def project(levels, u, p, dt_eff, cfg):
     lev = levels[0]
     from .ops.pallas_stencil import (use_project3d, project3d_pallas,
                                      div3d_pallas)
-    fused = (not lev.banded and not cfg.sharded
+    fused = (not lev.banded and not cfg.sharded and not cfg.implicit_diff
              and use_project3d(p.shape, p.dtype))
     if fused:
         # fused divergence + dt-scaled warm start (one sweep)
@@ -162,10 +165,18 @@ def project(levels, u, p, dt_eff, cfg):
     else:
         z = div(u)
         x = p * dt_eff
-    out = ml_solve(levels, x, z, tol=cfg.tol, itmx=cfg.itmx, trace=cfg.log,
-                   fixed=cfg.fixed_iters)
-    x, r, n = out[:3]
-    tr = out[3] if cfg.log else None
+    if cfg.implicit_diff:
+        # adjoint gradients: one extra Poisson solve under jax.grad instead
+        # of transposing an unrolled solver (Pallas stays off this step's
+        # pre/post sweeps so AD flows through the XLA forms)
+        from .ops.multigrid import ml_solve_implicit
+        x, n = ml_solve_implicit(levels, x, z, tol=cfg.tol, itmx=cfg.itmx)
+        tr = None
+    else:
+        out = ml_solve(levels, x, z, tol=cfg.tol, itmx=cfg.itmx,
+                       trace=cfg.log, fixed=cfg.fixed_iters)
+        x, r, n = out[:3]
+        tr = out[3] if cfg.log else None
     if fused:
         # fused velocity-correction + p-rescale sweep (equal to the XLA
         # chain below up to FMA-contraction rounding ~1e-6; PERF.md
@@ -203,9 +214,15 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
 
     imask = interior_mask(cfg.S)
     banded = cfg.bbox_shape is not None
+    # Mosaic kernels have no vjp rule: reverse-AD (implicit_diff) programs
+    # keep the step's elementwise/stencil passes on the XLA forms (the
+    # pressure solve's Pallas tier stays live inside its custom_vjp).
+    pal = not cfg.implicit_diff
+    fok = not cfg.sharded and pal
 
     # predictor u -> u'
-    r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh)
+    r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh,
+                  pallas_ok=pal)
     r = accelerate(r, t, cfg.g, cfg.U, dtype)
     if banded:
         u = bdim_banded(cfg, state.bbox, None, u0, r,
@@ -213,14 +230,15 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     else:
         u = jnp.where(imask, 0.0, u0)                # scale_u!(a, 0)
         u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
     if cfg.exitBC:
         u = exit_bc(u, u0, U, dt)
     u, p, (n1, tr1) = project(levels, u, p, dt, cfg)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
 
     # corrector u -> u¹
-    r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh)
+    r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh,
+                  pallas_ok=pal)
     r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
     if banded:
         u = bdim_banded(cfg, state.bbox, u, u0, r,
@@ -228,9 +246,9 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     else:
         u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
         u = jnp.where(imask, 0.5 * u, u)             # scale_u!(a, 0.5)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
     u, p, (n2, tr2) = project(levels, u, p, 0.5 * dt, cfg)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=not cfg.sharded)
+    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
 
     dt_new = cfl(u, cfg.nu)
     new = state._replace(u=u, p=p, dt=dt_new, t=t + dt)

@@ -132,7 +132,8 @@ def conv_core(up, S_out: tuple, S_glob: tuple, base, nu, perdir: tuple,
 
 
 def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
-              sharded: bool = False, mesh=None) -> jax.Array:
+              sharded: bool = False, mesh=None,
+              pallas_ok: bool = True) -> jax.Array:
     """Momentum tendency r = -div(convective flux) + nu*laplacian, gather form.
 
     Faithful to reference `conv_diff!` (src/Flow.jl:36-51) including which
@@ -149,10 +150,12 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
 
     ``mesh``: sharded programs on an evenly-dividing mesh route through the
     explicit shard_map path (width-2 ppermute halos, per-shard compute).
+    ``pallas_ok=False`` keeps the XLA form (reverse-AD programs: Mosaic
+    kernels have no vjp rule — threaded from ``FlowConfig.implicit_diff``).
     """
     D = u.shape[0]
     S = u.shape[1:]
-    if D == 3 and not perdir:
+    if D == 3 and not perdir and pallas_ok:
         from .pallas_stencil import use_blocked, conv_diff3d_pallas
         if use_blocked(S, u.dtype, sharded):
             return conv_diff3d_pallas(u, nu, limiter, S)

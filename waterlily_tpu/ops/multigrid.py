@@ -23,7 +23,8 @@ from .bc import bc_vector, bc_scalar_periodic
 from .poisson import make_level, residual, jacobi, smooth, increment
 
 __all__ = ["n_levels", "coarse_shape", "restrict", "restrict_L", "prolongate",
-           "build_levels", "update_levels", "vcycle", "ml_solve"]
+           "build_levels", "update_levels", "vcycle", "ml_solve",
+           "ml_solve_implicit"]
 
 MAX_LEVELS = 10
 
@@ -267,3 +268,104 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
     if trace:
         return x, r, n, tr
     return x, r, n
+
+
+# --- implicit differentiation (adjoint pressure solve) -----------------------
+#
+# Reverse-mode AD through `ml_solve(fixed=k)` stores every smoother iterate
+# of every level for the transpose — memory ∝ k·(V-cycle depth), prohibitive
+# at 256³-class grids.  The implicit-function theorem needs none of that: at
+# convergence the solution satisfies A(L)·x = P z (P = the residual's
+# dead-cell mask + mean correction), so the cotangent of the *solution map*
+# is one more Poisson solve with the SAME operator (A is symmetric) plus a
+# vjp of the operator application:
+#
+#   λ = A⁻¹ P x̄          (the adjoint solve — reuses the multigrid stack)
+#   z̄ = mask(λ)          (x* is exactly independent of z in dead cells)
+#   (L̄, D̄) = ∂(−A·x*)ᵀ λ  (linear in L/D: one slice-stencil vjp pass)
+#   x̄₀ = 0               (the warm start does not move a converged solve)
+#
+# The forward pass runs the normal adaptive `while_loop` solve — Pallas
+# kernels, shard_map smoothers and all — because custom_vjp hides it from
+# the transpose.  Gauge caveat: with immersed bodies the residual's mean
+# correction makes the solution-map projector slightly non-symmetric (a
+# rank-1 mean coupling); gradients of gauge-invariant outputs (anything
+# built from ∇p or velocities — forces, KE, lift) are unaffected, which the
+# FD oracles in tests/test_grad.py pin.
+
+
+def _zeros_cotangent(tree):
+    """A zero cotangent matching ``tree`` (float0 for integer leaves)."""
+    import numpy as np
+
+    def z(p):
+        if jnp.issubdtype(jnp.result_type(p), jnp.inexact):
+            return jnp.zeros_like(p)
+        return np.zeros(jnp.shape(p), dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(z, tree)
+
+
+def _implicit_solve(levels, x, z, tol, itmx):
+    xs, _r, n = ml_solve(levels, x, z, tol=tol, itmx=itmx)
+    return xs, n
+
+
+def _implicit_fwd(levels, x, z, tol, itmx):
+    xs, _r, n = ml_solve(levels, x, z, tol=tol, itmx=itmx)
+    return (xs, n), (levels, xs)
+
+
+def _implicit_bwd(tol, itmx, res, ct):
+    from .poisson import _mult_interior_arrays
+    levels, xs = res
+    xbar, _nbar = ct
+    fine = levels[0]
+    D = xs.ndim
+    # the solve returns its solution with periodic ghosts filled
+    # (`bc_scalar_periodic`), and downstream stencils read them: fold the
+    # ghost cotangents back onto their source interior cells (the transpose
+    # of the ghost fill) before treating x̄ as an interior-dof cotangent.
+    _, bcp_vjp = jax.vjp(lambda v: bc_scalar_periodic(v, fine.perdir), xs)
+    (xbar,) = bcp_vjp(xbar)
+    # adjoint solve: A symmetric, so the transposed system reuses the same
+    # level stack; ml_solve's residual projects the RHS (mean correction +
+    # dead mask) exactly as the primal solve does.
+    lam, _r, _n = ml_solve(levels, jnp.zeros_like(xs), xbar,
+                           tol=tol, itmx=itmx)
+    lam_int = jnp.where(interior_view(fine.iD, D) == 0, 0.0,
+                        interior_view(lam, D))
+    zbar = pad_interior(lam_int)
+    # operator cotangents: A(L,D)·x* is linear in (L, D); vjp of the dense
+    # slice-form stencil (bitwise-equal to the banded/blocked forms by the
+    # dispatch invariants) against −λ.
+    xb = bc_scalar_periodic(xs, fine.perdir)
+
+    def _ax(Lf, Df):
+        return _mult_interior_arrays(Lf, Df, xb)
+
+    _, ax_vjp = jax.vjp(_ax, fine.L, fine.D)
+    Lbar, Dbar = ax_vjp(-lam_int)
+    lev_bar = _zeros_cotangent(levels)
+    lev_bar = (lev_bar[0].replace(L=Lbar, D=Dbar),) + lev_bar[1:]
+    return lev_bar, jnp.zeros_like(xs), zbar
+
+
+_implicit_solve = jax.custom_vjp(_implicit_solve, nondiff_argnums=(3, 4))
+_implicit_solve.defvjp(_implicit_fwd, _implicit_bwd)
+
+
+def ml_solve_implicit(levels, x, z, tol=1e-4, itmx=32):
+    """Multigrid pressure solve with implicit-differentiation gradients.
+
+    Same primal as `ml_solve` (adaptive `while_loop`, full kernel dispatch)
+    but `jax.grad` costs ONE adjoint Poisson solve instead of transposing an
+    unrolled solver — the memory-feasible reverse-AD path at scale (the
+    `fixed=` unroll stores every smoother iterate).  Returns ``(x, n)``.
+
+    Gradients assume a *converged* solve (use a tight ``tol`` when the loss
+    is sensitive); forward-mode (`jax.jvp`) is not supported through this
+    wrapper — use `fixed=`/the adaptive solve for jvp.  Beyond-parity: the
+    reference is forward-mode only (maintests.jl:254-278).
+    """
+    return _implicit_solve(levels, x, z, float(tol), int(itmx))

@@ -54,6 +54,15 @@ class Simulation:
       reverse-mode differentiable (``jax.grad`` through ``mom_step``), the
       beyond-parity extension of the reference's forward-only ForwardDiff
       scope (maintests.jl:254-278).
+    - ``implicit_diff``: reverse-mode via the implicit-function theorem
+      instead of unrolling — the pressure solve keeps its adaptive
+      `while_loop` (and its Pallas kernels) and ``jax.grad`` costs ONE
+      adjoint Poisson solve with the same multigrid stack, rather than
+      storing every smoother iterate of a ``fixed_iters`` unroll.  The
+      memory-feasible adjoint path at 256³-class grids.  Gradients assume
+      converged solves (tighten ``tol`` for sensitive losses); forward-mode
+      (`jax.jvp`) is not supported through it — use the default config or
+      ``fixed_iters`` for jvp.  Mutually exclusive with both.
     - ``smoother_bf16``: store the pressure smoother's search direction in
       bf16 on blocked (big-3D TPU) levels.  The residual/solution stay f32
       and remain exactly consistent; iteration counts are unchanged on the
@@ -74,12 +83,19 @@ class Simulation:
                  epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
                  log=False, mesh=None, bbox=True, fixed_iters=None,
-                 banded_levels=False, smoother_bf16=True, unroll=1):
+                 banded_levels=False, smoother_bf16=True, unroll=1,
+                 implicit_diff=False):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
         if callable(u_BC) and U is None:
             raise ValueError("U must be specified when u_BC is a function")
+        if implicit_diff and fixed_iters is not None:
+            raise ValueError("implicit_diff and fixed_iters are mutually "
+                             "exclusive reverse-AD paths; pick one")
+        if implicit_diff and log:
+            raise ValueError("implicit_diff does not capture residual "
+                             "traces; use log=False (or fixed_iters)")
         self.U = float(U) if U is not None else math.sqrt(sum(v * v for v in u_BC))
         self.L = float(L)
         self.epsilon = float(epsilon)
@@ -99,7 +115,8 @@ class Simulation:
                             tol=float(tol), itmx=int(itmx), log=bool(log),
                             sharded=mesh is not None, mesh=mesh,
                             fixed_iters=None if fixed_iters is None
-                            else int(fixed_iters))
+                            else int(fixed_iters),
+                            implicit_diff=bool(implicit_diff))
         if mesh is not None:
             from .parallel.mesh import constrain_state, constrain_levels
             self._cs = lambda s: constrain_state(s, mesh)
