@@ -20,11 +20,23 @@ from waterlily_tpu.grid import field_dot, pad_interior
 from waterlily_tpu.flow import div
 
 sim = sphere_3d(n=256, m=256, Re=3700, dtype=jnp.float32)
-state, aux = sim._step_static_d(jax.tree.map(lambda a: a + 0, sim.flow),
-                                sim.levels)
-print("step0 pois_n:", [int(v) for v in aux["pois_n"]], flush=True)
+
+
+def strip(lev):
+    return lev.replace(L16=None, D16=None, iD16=None, bf16_eps=False)
+
+
+from waterlily_tpu.flow import mom_step  # noqa: E402
+
+# the trial state comes from a SHADOW-FREE step so a step-0 NaN under the
+# shadows cannot poison every later trial
+lev_f32 = tuple(strip(l) for l in sim.levels)
+state, aux = jax.jit(lambda s: mom_step(sim.cfg, lev_f32, s))(
+    jax.tree.map(lambda a: a + 0, sim.flow))
+print("step0 (f32 levels) pois_n:", [int(v) for v in aux["pois_n"]],
+      flush=True)
 fine = sim.levels[0]
-fine_f32 = fine.replace(L16=None, D16=None, iD16=None)
+fine_f32 = strip(fine)
 assert fine.L16 is not None
 S = state.p.shape
 
@@ -125,6 +137,38 @@ for k in range(40):
 print(f"h2. donated step: first dt NaN at "
       f"{'step %d' % first_nan if first_nan is not None else 'none in 40'}",
       flush=True)
+
+# (i)/(j)/(k) full-step localization: which level's shadows, and do the
+# OTHER Mosaic kernels in the program matter?  (The CPU dense emulation,
+# scripts/emulate_bf16op_cpu.py, proved the shadow ALGEBRA is stable at
+# 256^3 with pois_n parity — so whatever fails below is compilation.)
+def trial_step(tag, levels, cfg=None, steps=40):
+    c = cfg if cfg is not None else sim.cfg
+    f = jax.jit(lambda s: mom_step(c, levels, s))
+    st = jax.tree.map(lambda a: a + 0, state)
+    first = None
+    for k in range(steps):
+        st, aux_ = f(st)
+        d = float(aux_["dt"])
+        if d != d:
+            first = k
+            break
+    print(f"{tag}: first dt NaN at "
+          f"{'step %d' % first if first is not None else 'none in %d' % steps}",
+          flush=True)
+
+
+trial_step("i. shadows on fine (258^3) level only",
+           (sim.levels[0],) + tuple(strip(l) for l in sim.levels[1:]))
+trial_step("j. shadows on second (130^3) level only",
+           (strip(sim.levels[0]),) + sim.levels[1:2]
+           + tuple(strip(l) for l in sim.levels[2:]))
+# implicit_diff=True keeps the solve's Pallas dispatch but moves conv_diff/
+# BC/projection/div to their XLA forms (identical primal trajectory):
+# clean here + NaN in (h) => a composition/layout interaction between the
+# f32 sweep kernels and the bf16 smoother kernels in one program.
+trial_step("k. shadows + XLA sweeps (no other Mosaic in program)",
+           sim.levels, cfg=sim.cfg._replace(implicit_diff=True))
 
 # (g) with_dot repeated: does the fused-dot variant corrupt under repetition?
 @jax.jit
