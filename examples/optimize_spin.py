@@ -7,7 +7,14 @@ step -> multigrid pressure solve (fixed-trip, so the transpose is exact)
 (its ForwardDiff scope stops at sdf/map derivatives, src/AutoBody.jl);
 here the entire `mom_step` chain is one differentiable jit program.
 
-Run:  python examples/optimize_spin.py
+Run:  python examples/optimize_spin.py [--implicit]
+
+``--implicit`` switches the adjoint from the fixed-trip unroll to the
+implicit-function-theorem path (``implicit_diff=True``): the pressure
+solve stays adaptive/converged and reverse-mode costs ONE adjoint
+Poisson solve per projection instead of storing every smoother iterate —
+the memory-feasible mode at 256³-class grids (FD-pinned in
+tests/test_grad.py::test_implicit_grad_through_body_measurement).
 
 Runs on the CPU backend in f64: differentiation uses the XLA solver path
 (the fused Pallas TPU smoother has no autodiff rule — the f32 TPU
@@ -52,8 +59,11 @@ def lift_coeff(xi):
         return Rm @ (x - Dm)
 
     body = AutoBody(sdf, mp)
-    cfg = FlowConfig(D=2, S=S, nu=U * Dm / Re, U=(U, 0.0), dtype=f64,
-                     fixed_iters=1)
+    if "--implicit" in sys.argv:
+        ad = dict(implicit_diff=True, tol=1e-12, itmx=64)
+    else:
+        ad = dict(fixed_iters=1)
+    cfg = FlowConfig(D=2, S=S, nu=U * Dm / Re, U=(U, 0.0), dtype=f64, **ad)
     state = flow_init(cfg)
     V, m0, m1, _ = measure_fields(body, S, 0.0, 1.0, (), False, f64)
     state = state._replace(V=V, mu0=m0, mu1=m1)
