@@ -373,3 +373,17 @@ def test_constrain_levels_forces_sharded_flags():
     # the output pytree structure, so the jitted result carries them
     out = jax.jit(lambda l: constrain_levels(l, mesh))(levs)
     assert all(l.sharded and not l.blocked for l in out)
+
+
+def test_bf16_operator_gate_default_off():
+    """The operator-coefficient shadows stay gated OFF by default until the
+    real-TPU mixed-dtype NaN is root-caused (docs/PERF.md round-3: the
+    algebra is exonerated by CPU emulation; the compilation is not).  An
+    accidental default flip must fail loudly, not ship via bench."""
+    import waterlily_tpu.ops.poisson as pois
+    assert pois.BF16_OP is False
+    # make_level must not build shadows while the gate is off
+    from waterlily_tpu.ops.poisson import make_level
+    import jax.numpy as _jnp
+    L = _jnp.ones((2, 10, 10), _jnp.float32)
+    assert make_level(L).L16 is None
