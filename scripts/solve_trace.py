@@ -42,10 +42,16 @@ print("pre-solve: |x|max=%.3e |z|max=%.3e z_nan=%d" %
        int(jnp.isnan(z).sum())), flush=True)
 
 
-def stats(tag, arr):
+def stats(tag, arr, lev=None):
     a = np.asarray(arr)
+    extra = ""
+    if lev is not None:
+        live = np.asarray(lev.iD)[tuple(slice(1, -1) for _ in a.shape)] != 0
+        ai = a[tuple(slice(1, -1) for _ in a.shape)]
+        extra = (f" sum={ai.sum():+.3e} live_sum={ai[live].sum():+.3e}"
+                 f" dead_r2={np.square(ai[~live]).sum():.3e}")
     print(f"  {tag}: r2={np.square(a).sum():.4e} max={np.nanmax(np.abs(a)):.3e} "
-          f"nan={np.isnan(a).sum()}", flush=True)
+          f"nan={np.isnan(a).sum()}{extra}", flush=True)
 
 
 def run_solve(levels, x, z, iters=6):
@@ -54,7 +60,7 @@ def run_solve(levels, x, z, iters=6):
     jac = jax.jit(jacobi)
     smo = jax.jit(smooth, static_argnames=("it",))
     inc = jax.jit(increment)
-    rst = jax.jit(restrict)
+    rst = jax.jit(restrict, static_argnames=("sharded",))
     pro = jax.jit(prolongate, static_argnames=("S_fine", "sharded"))
     r = resid(levels[0], x, z)
     stats("init r", r)
@@ -67,10 +73,13 @@ def run_solve(levels, x, z, iters=6):
             rc = rst(rl, False)
             xs.append(jnp.zeros_like(levels[l + 1].D))
             rs.append(rc)
+            if it <= 1:
+                stats(f"it{it} restricted r L{l+1}", rc, levels[l + 1])
         # coarse-to-fine
         for l in range(nlev - 2, -1, -1):
             xc, rc = smo(levels[l + 1], xs[l + 1], rs[l + 1])
-            stats(f"it{it} post-smooth L{l+1}", rc)
+            stats(f"it{it} post-smooth L{l+1}", rc,
+                  levels[l + 1] if l + 1 == nlev - 1 else None)
             eps = pro(xc, xs[l].shape, False)
             xs[l], rs[l] = inc(levels[l], xs[l], rs[l], eps)
             stats(f"it{it} post-increment L{l}", rs[l])
