@@ -30,9 +30,12 @@ from waterlily_tpu.flow import mom_step  # noqa: E402
 
 # the trial state comes from a SHADOW-FREE step so a step-0 NaN under the
 # shadows cannot poison every later trial
+# NB: big concrete arrays (levels, L16/D16) must be jit ARGUMENTS, not
+# closures — the remote-compile tunnel rejects closure-embedded payloads
+# with HTTP 413 (CLAUDE.md gotcha).
+_step = jax.jit(lambda s, lv: mom_step(sim.cfg, lv, s))
 lev_f32 = tuple(strip(l) for l in sim.levels)
-state, aux = jax.jit(lambda s: mom_step(sim.cfg, lev_f32, s))(
-    jax.tree.map(lambda a: a + 0, sim.flow))
+state, aux = _step(jax.tree.map(lambda a: a + 0, sim.flow), lev_f32)
 print("step0 (f32 levels) pois_n:", [int(v) for v in aux["pois_n"]],
       flush=True)
 fine = sim.levels[0]
@@ -91,21 +94,22 @@ L16, D16 = _opLD(fine)
 from waterlily_tpu.ops.poisson import _mult_interior_arrays
 
 @jax.jit
-def dense16(x):
+def dense16(Lq, Dq, x):
     return pad_interior(_mult_interior_arrays(
-        L16.astype(jnp.float32), D16, x))
+        Lq.astype(jnp.float32), Dq, x))
 
 @jax.jit
-def kstep(x):
-    z = mult3d_pallas(L16, D16, x, S)
+def kstep(Lq, Dq, x):
+    z = mult3d_pallas(Lq, Dq, x, S)
     return x * jnp.float32(0.97) + jnp.float32(1e-3) * z
 
+_mult = jax.jit(lambda Lq, Dq, v: mult3d_pallas(Lq, Dq, v, S))
 x = state.p
 for k in range(40):
-    x = kstep(x)
+    x = kstep(L16, D16, x)
     if k % 10 == 9:
-        zk = mult3d_pallas(L16, D16, x, S)
-        zd = dense16(x)
+        zk = _mult(L16, D16, x)
+        zd = dense16(L16, D16, x)
         d = float(jnp.max(jnp.abs(zk - zd)))
         print(f"f. chained call {k}: |kern-dense|max={d:.3e} "
               f"xnan={int(jnp.isnan(x).sum())}", flush=True)
@@ -144,11 +148,11 @@ print(f"h2. donated step: first dt NaN at "
 # 256^3 with pois_n parity — so whatever fails below is compilation.)
 def trial_step(tag, levels, cfg=None, steps=40):
     c = cfg if cfg is not None else sim.cfg
-    f = jax.jit(lambda s: mom_step(c, levels, s))
+    f = jax.jit(lambda s, lv: mom_step(c, lv, s))
     st = jax.tree.map(lambda a: a + 0, state)
     first = None
     for k in range(steps):
-        st, aux_ = f(st)
+        st, aux_ = f(st, levels)
         d = float(aux_["dt"])
         if d != d:
             first = k
@@ -172,16 +176,16 @@ trial_step("k. shadows + XLA sweeps (no other Mosaic in program)",
 
 # (g) with_dot repeated: does the fused-dot variant corrupt under repetition?
 @jax.jit
-def kstep_dot(x):
-    z, dot = mult3d_pallas(L16, D16, x.astype(jnp.bfloat16), S, with_dot=True)
+def kstep_dot(Lq, Dq, x):
+    z, dot = mult3d_pallas(Lq, Dq, x.astype(jnp.bfloat16), S, with_dot=True)
     return x * jnp.float32(0.97) + jnp.float32(1e-3) * z, dot
 
 x = state.p
 for k in range(40):
-    x, dot = kstep_dot(x)
+    x, dot = kstep_dot(L16, D16, x)
     if k % 10 == 9:
         e16 = x.astype(jnp.bfloat16)
-        zd = dense16(e16.astype(jnp.float32))
+        zd = dense16(L16, D16, e16.astype(jnp.float32))
         dd = float(field_dot(zd, e16.astype(jnp.float32)))
         print(f"g. chained dot call {k}: dot={float(dot):.6e} dense={dd:.6e} "
               f"xnan={int(jnp.isnan(x).sum())}", flush=True)
