@@ -1,11 +1,12 @@
 """Same-session A/B: bf16 operator-coefficient shadows (L16/D16/iD16) on the
 256^3 sphere step.
 
-Variant A strips the shadows from every level (keeping the bf16 search
-direction — round-3-start behavior); variant B keeps them (new default).
-Reports ms/step for each and the pois_n sequence over NSTEP steps — the
-parity gate: the sequences must be identical and the solve residuals of
-equal quality.
+Variant A is the shipped round-3 default (no shadows, bf16 search
+directions); variant B is the shadow form (bf16 operator, f32 directions —
+make_level enforces the exclusion: compounding both roundings lifts the MG
+convergence floor above tol, scripts/solve_local.py).  Reports ms/step for
+each and the pois_n sequence over NSTEP steps — the parity gate: the
+sequences must be identical and the solve residuals of equal quality.
 
 Usage: python scripts/ab_bf16op.py [N] [NSTEP]
 """
@@ -20,12 +21,19 @@ from waterlily_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
 
+import waterlily_tpu.ops.poisson as pois  # noqa: E402
+
+pois.BF16_OP = True
+
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 NSTEP = int(sys.argv[2]) if len(sys.argv) > 2 else 55
 
 
 def strip(levels):
-    return tuple(l.replace(L16=None, D16=None, iD16=None) for l in levels)
+    """The shipped default: no shadows, bf16 directions on blocked levels."""
+    return tuple(l.replace(L16=None, D16=None, iD16=None,
+                           bf16_eps=l.blocked and l.L.dtype == jnp.float32)
+                 for l in levels)
 
 
 def run(sim, levels, state, nstep, tag=""):
@@ -62,7 +70,11 @@ def main():
     fine = sim.levels[0]
     print(f"grid {sim.cfg.S} blocked={fine.blocked} "
           f"shadows={'yes' if fine.L16 is not None else 'no'}")
-    base = jax.tree.map(lambda a: a + 0, sim.flow)
+    # the harness owns the state copies from here; drop the sim's ~3 GB
+    # reference — with the +0.5 GB shadow levels the 4th live state copy
+    # OOMs the 16 GB v5e (RESOURCE_EXHAUSTED observed at variant-B timing)
+    base = sim.flow
+    sim.flow = None
 
     levA = strip(sim.levels)
     levB = sim.levels

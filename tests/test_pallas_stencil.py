@@ -74,8 +74,19 @@ def test_level_bf16_shadows(level_and_fields, monkeypatch):
     monkeypatch.setattr(ps, "use_blocked", lambda *a, **k: True)
     monkeypatch.setattr(pois, "BF16_OP", True)
     lev16 = pois.make_level(lev.L)
-    assert lev16.bf16_eps and lev16.L16 is not None
+    assert lev16.L16 is not None
+    # a shadowed level forces f32 search directions: bf16 eps COMPOUNDED
+    # with the bf16 operator lifts the MG convergence floor above tol
+    # (scripts/solve_local.py hardware trace)
+    assert not lev16.bf16_eps
     assert lev16.L16.dtype == jnp.bfloat16
+    # the explicit kwarg overrides the module default in both directions
+    lev_off = pois.make_level(lev.L, op_bf16=False)
+    assert lev_off.L16 is None and lev_off.bf16_eps
+    monkeypatch.setattr(pois, "BF16_OP", False)
+    lev_on = pois.make_level(lev.L, op_bf16=True)
+    assert lev_on.L16 is not None and not lev_on.bf16_eps
+    monkeypatch.setattr(pois, "BF16_OP", True)
     assert lev16.iD16.dtype == jnp.bfloat16
     # D16 must be the f32 diagonal DERIVED from the rounded taps (exact
     # zero row sums -> weak diagonal dominance; bf16(D) diverges)

@@ -101,3 +101,37 @@ def test_mg_3d():
     err, n, _ = poisson_setup((2 ** 4 + 2, 2 ** 4 + 2, 2 ** 4 + 2), ml=True)
     assert err < 1e-6
     assert n <= 3
+
+
+def test_solver_divergence_safeguard():
+    """The adaptive solve loops exit when an iteration doubles r·r instead
+    of amplifying a diverging/floored smoother to NaN over the remaining
+    itmx trips (the runaway observed when a reduced-precision operator's
+    convergence floor sits above tol — scripts/solve_local.py)."""
+    D = 2
+    N = (10, 10)
+    L = bc_vector(jnp.ones((D,) + N, f32), (0.0,) * D)
+    lev = make_level(L)
+    soln = jnp.broadcast_to(jnp.arange(1, 11, dtype=f32).reshape(-1, 1), N)
+    z = mult(lev, soln)
+
+    def inflating(lev_, x, r):
+        return x, 3.0 * r
+
+    x, r, n = poisson_solve(lev, jnp.zeros(N, f32), z, itmx=50,
+                            smoother=inflating)
+    assert int(n) == 1  # r2 grew 9x on the first trip: stop immediately
+    assert np.all(np.isfinite(np.asarray(r)))
+
+    # the multigrid loop has the same guard (monkeypatched diverging body)
+    import waterlily_tpu.ops.multigrid as MG
+    levels = build_levels(L)
+    orig_v, orig_s = MG.vcycle, MG.smooth
+    try:
+        MG.vcycle = lambda lv, l, x, r: (x, r)
+        MG.smooth = lambda lv, x, r, it=6: (x, 3.0 * r)
+        x, r, n = ml_solve(levels, jnp.zeros(N, f32), z, itmx=50)
+    finally:
+        MG.vcycle, MG.smooth = orig_v, orig_s
+    assert int(n) == 1
+    assert np.all(np.isfinite(np.asarray(r)))

@@ -81,7 +81,8 @@ def restart_sim(sim, fname: str):
     # _lv_box (not cfg.bbox_shape): banded Poisson levels are opt-in
     sim.levels = build_levels(sim.flow.mu0, sim.cfg.perdir, sim.cfg.sharded,
                               getattr(sim, "_lv_box", None), sim.flow.bbox,
-                              getattr(sim, "_smoother_bf16", True))
+                              getattr(sim, "_smoother_bf16", True),
+                              getattr(sim, "_op_bf16", None))
     sim.dts = [float(x) for x in data["dts"]]
     sim.pois_n = [row for row in data["pois_n"]]
     return sim
@@ -147,7 +148,8 @@ def restart_sim_orbax(sim, path: str):
     from ..ops.multigrid import build_levels
     sim.levels = build_levels(sim.flow.mu0, sim.cfg.perdir, sim.cfg.sharded,
                               getattr(sim, "_lv_box", None), sim.flow.bbox,
-                              getattr(sim, "_smoother_bf16", True))
+                              getattr(sim, "_smoother_bf16", True),
+                              getattr(sim, "_op_bf16", None))
     sim.dts = [float(x) for x in data["dts"]]
     sim.pois_n = [row for row in data["pois_n"]]
     return sim

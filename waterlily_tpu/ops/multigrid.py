@@ -149,7 +149,7 @@ def _coarsen_box(box_start, box_shape, S_coarse):
 
 def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
                  box_shape=None, box_start=None,
-                 bf16_eps: bool = True) -> tuple:
+                 bf16_eps: bool = True, op_bf16: bool | None = None) -> tuple:
     """Build the static level stack from the fine face coefficients.
 
     The fine ``L`` *is* the BDIM zeroth moment ``μ₀`` (src/WaterLily.jl:77);
@@ -157,7 +157,8 @@ def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
     ``sharded`` marks GSPMD layouts and disables Pallas dispatch per level.
     ``box_shape``/``box_start`` (the body band window) enable the banded
     sparse-coefficient operator on levels where it pays; the box coarsens
-    with the grid.
+    with the grid.  ``bf16_eps``/``op_bf16`` select the reduced-precision
+    smoother levers per level (see ``make_level`` — mutually exclusive).
     """
     S = mu0.shape[1:]
     nlev = n_levels(S)
@@ -172,7 +173,7 @@ def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
         levels.append(make_level(L, perdir, sharded, banded=banded, c=c,
                                  box_shape=box_shape if banded else None,
                                  box_start=box_start if banded else None,
-                                 bf16_eps=bf16_eps))
+                                 bf16_eps=bf16_eps, op_bf16=op_bf16))
         if li == nlev - 1:
             break
         L = restrict_L(L, perdir, sharded)
@@ -189,9 +190,15 @@ def build_levels(mu0: jax.Array, perdir: tuple = (), sharded: bool = False,
 def update_levels(levels: tuple, mu0: jax.Array, box_start=None) -> tuple:
     """Re-restrict coefficients after body motion (reference ``update!``, :62-68)."""
     fine = levels[0]
+    # carry the fine level's observed reduced-precision choices so a rebuild
+    # cannot silently flip them (op_bf16 from the shadows' presence when the
+    # level could have carried them, the module default otherwise)
+    op16 = (fine.L16 is not None) if fine.blocked else None
     return build_levels(mu0, fine.perdir, fine.sharded,
                         fine.box_shape, box_start if box_start is not None
-                        else fine.box_start, bf16_eps=fine.bf16_eps)
+                        else fine.box_start,
+                        bf16_eps=fine.bf16_eps or fine.L16 is not None,
+                        op_bf16=op16)
 
 
 def vcycle(levels: tuple, l: int, x, r):
@@ -250,20 +257,27 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
         tr = tr.at[0].set(log_row(r))
 
     def cond(c):
-        _, _, n, r2, _ = c
-        return (n == 0) | ((r2 >= tol) & (n < itmx))
+        _, _, n, r2, stop, _ = c
+        return (n == 0) | ((r2 >= tol) & (n < itmx) & ~stop)
 
     def body(c):
-        x, r, n, _, tr = c
+        x, r, n, r2p, _, tr = c
         x, r = vcycle(levels, 0, x, r)
         x, r = smooth(fine, x, r)
         r2 = field_dot(r, r)
+        # divergence safeguard: a healthy outer iteration never doubles
+        # r·r (floored solves bounce ≤1.2×; runaway smoothing jumps ≥49×
+        # — scripts/solve_local.py hardware traces).  Exiting here bounds
+        # the damage to one bad iteration instead of amplifying to NaN
+        # over the remaining itmx trips when tol is unattainable (e.g. a
+        # reduced-precision operator floor above a user-tightened tol).
+        stop = r2 > 2.0 * r2p
         if trace:
             tr = tr.at[n + 1].set(log_row(r))
-        return (x, r, n + 1, r2, tr)
+        return (x, r, n + 1, r2, stop, tr)
 
-    x, r, n, r2, tr = jax.lax.while_loop(
-        cond, body, (x, r, jnp.int32(0), field_dot(r, r), tr))
+    x, r, n, r2, _, tr = jax.lax.while_loop(
+        cond, body, (x, r, jnp.int32(0), field_dot(r, r), False, tr))
     x = bc_scalar_periodic(x, fine.perdir)
     if trace:
         return x, r, n, tr

@@ -41,6 +41,16 @@ __all__ = ["PoissonLevel", "make_level", "mult", "residual", "jacobi", "pcg",
 # full step still NaNs at step 1 (suspected Mosaic lowering of the
 # mixed-dtype stencil; docs/PERF.md round-3 addendum), so dispatch stays
 # off until that is root-caused on hardware.
+# bf16 operator-coefficient shadows: OFF — root-caused as a NUMERICS limit,
+# not a compile bug (round-3 hardware battery, scripts/solve_local.py +
+# ab_bf16op.py; docs/PERF.md).  The bf16-rounded operator at 256³-class
+# conditioning (a) floors multigrid convergence above the default tol when
+# compounded with bf16 search directions, and (b) even with f32 directions
+# degrades per-solve iteration counts (pois_n ~(3,3) vs (2,2)) — eating the
+# bandwidth win (measured 0.78× step time) — and marginally destabilizes
+# the trajectory over ~50 steps.  Flip per-sim with Simulation(op_bf16=True)
+# for experimentation; make_level enforces f32 directions on shadowed
+# levels and the solve loops carry a divergence safeguard.
 BF16_OP = False
 
 
@@ -87,8 +97,12 @@ class PoissonLevel:
     # ~25 iterations (reproduced on CPU at 66³; the consistent-D form
     # matches the f32 pois_n trajectory exactly).  iD16 is bf16 of 1/D16 —
     # a preconditioner, so its rounding only perturbs convergence paths.
-    # Built alongside ``bf16_eps``; halves the smoother's dominant HBM
-    # stream (L is 12 of ~24 B/cell of each stencil call).
+    # MUTUALLY EXCLUSIVE with ``bf16_eps``: compounding bf16 directions
+    # with the bf16 operator lifts the multigrid convergence floor above
+    # the default tol at 256³ and the never-converging solve blows up
+    # (scripts/solve_local.py; make_level enforces the exclusion).  Halves
+    # the smoother's dominant HBM stream (L is 12 of ~24 B/cell of each
+    # stencil call).
     L16: jax.Array | None = None
     D16: jax.Array | None = None
     iD16: jax.Array | None = None
@@ -119,12 +133,23 @@ def _diag(L: jax.Array) -> jax.Array:
 
 def make_level(L: jax.Array, perdir: tuple = (), sharded: bool = False,
                banded: bool = False, c: float = 1.0, box_shape=None,
-               box_start=None, bf16_eps: bool = True) -> PoissonLevel:
+               box_start=None, bf16_eps: bool = True,
+               op_bf16: bool | None = None) -> PoissonLevel:
     """Build a level from face coefficients (reference ``set_diag!``).
 
     ``bf16_eps`` enables the reduced-precision smoother search direction on
     blocked (big-3D TPU) levels — see the field docstring; halves the
-    direction-field traffic of the dominant fine-level PCG smoothers."""
+    direction-field traffic of the dominant fine-level PCG smoothers.
+
+    ``op_bf16`` (None → module default ``BF16_OP``) builds the bf16
+    operator-coefficient shadows (L16/D16/iD16) on those same levels.
+    MUTUAL-EXCLUSION CONSTRAINT: a shadowed level forces ``bf16_eps=False``
+    (f32 search directions).  Either rounding alone keeps the multigrid
+    convergence floor below the default ``tol`` (measured at 256³:
+    f32 op + bf16 eps floors at r·r≈1.1e-5, bf16 op + f32 eps at 1.3e-5,
+    both n=3 like f32), but COMPOUNDED they floor at ≈1.5e-3 — above tol —
+    so the solve never converges and late PCG iterations blow up
+    (scripts/solve_local.py hardware trace, docs/PERF.md round 3)."""
     from .pallas_stencil import use_blocked
     Dd = _diag(L)
     eps = jnp.finfo(L.dtype).eps
@@ -135,8 +160,10 @@ def make_level(L: jax.Array, perdir: tuple = (), sharded: bool = False,
     else:
         banded, box_shape, box_start = False, None, None
     blocked = (not banded) and use_blocked(L.shape[1:], L.dtype, sharded)
-    bf16 = bool(bf16_eps) and blocked and L.dtype == jnp.float32
-    if bf16 and BF16_OP:
+    f32blk = blocked and L.dtype == jnp.float32
+    shadow = f32blk and (BF16_OP if op_bf16 is None else bool(op_bf16))
+    bf16 = bool(bf16_eps) and f32blk and not shadow
+    if shadow:
         L16 = L.astype(jnp.bfloat16)
         # diagonal derived from the ROUNDED taps, kept f32 — exact zero row
         # sums preserve weak diagonal dominance (see the field docstring;
@@ -444,14 +471,18 @@ def poisson_solve(lev: PoissonLevel, x, z, tol=1e-4, itmx=1000, smoother=smooth)
     r = residual(lev, x, z)
 
     def cond(c):
-        x, r, n, r2 = c
-        return (n == 0) | ((r2 >= tol) & (n < itmx))
+        x, r, n, r2, stop = c
+        return (n == 0) | ((r2 >= tol) & (n < itmx) & ~stop)
 
     def body(c):
-        x, r, n, _ = c
+        x, r, n, r2p, _ = c
         x, r = smoother(lev, x, r)
-        return (x, r, n + 1, field_dot(r, r))
+        r2 = field_dot(r, r)
+        # divergence safeguard (see ml_solve): exit when an iteration
+        # doubles r·r instead of amplifying to NaN when tol is unattainable
+        return (x, r, n + 1, r2, r2 > 2.0 * r2p)
 
-    x, r, n, r2 = jax.lax.while_loop(cond, body, (x, r, jnp.int32(0), field_dot(r, r)))
+    x, r, n, r2, _ = jax.lax.while_loop(
+        cond, body, (x, r, jnp.int32(0), field_dot(r, r), False))
     x = bc_scalar_periodic(x, lev.perdir)
     return x, r, n

@@ -68,6 +68,13 @@ class Simulation:
       and remain exactly consistent; iteration counts are unchanged on the
       benchmark configs (docs/PERF.md) and traffic drops ~20%.  Set False
       to force full f32.
+    - ``op_bf16``: carry bf16 shadows of the Poisson operator coefficients
+      (L16/D16/iD16) on blocked levels — the smoothers apply the
+      bf16-rounded operator in f32 arithmetic, halving their dominant HBM
+      stream.  None (default) follows ``ops.poisson.BF16_OP``.  A shadowed
+      level forces f32 search directions: compounding both roundings lifts
+      the multigrid convergence floor above ``tol`` at 256³ and the solve
+      diverges (scripts/solve_local.py, docs/PERF.md round 3).
     - ``banded_levels``: opt-in banded (windowed) Poisson operator on the
       multigrid levels.  Off by default: its per-smoother-iteration window
       fix-ups measured slower than the dense blocked kernels at 256³.
@@ -83,8 +90,8 @@ class Simulation:
                  epsilon=1.0, perdir=(), ulam=None, exitBC=False, body=None,
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
                  log=False, mesh=None, bbox=True, fixed_iters=None,
-                 banded_levels=False, smoother_bf16=True, unroll=1,
-                 implicit_diff=False):
+                 banded_levels=False, smoother_bf16=True, op_bf16=None,
+                 unroll=1, implicit_diff=False):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
@@ -108,6 +115,8 @@ class Simulation:
         # r/x stay f32 and r == z - A x holds to f32 precision (see
         # PoissonLevel.bf16_eps); measured pois_n parity in docs/PERF.md
         self._smoother_bf16 = bool(smoother_bf16)
+        # bf16 operator-coefficient shadows (None follows poisson.BF16_OP)
+        self._op_bf16 = None if op_bf16 is None else bool(op_bf16)
         self._unroll = max(1, int(unroll))
         self._cfg_kw = dict(D=D, S=tuple(n + 2 for n in dims), nu=float(nu),
                             U=u_BC, g=g, perdir=tuple(perdir),
@@ -139,7 +148,8 @@ class Simulation:
             state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
             return _cs(state), _cl(build_levels(m0, cfg0.perdir, cfg0.sharded,
                                                 lv_box0, bb,
-                                                self._smoother_bf16))
+                                                self._smoother_bf16,
+                                                self._op_bf16))
 
         self.flow, self.levels = jax.jit(_init)()
 
@@ -239,7 +249,8 @@ class Simulation:
             bb = _bbox_of(dc)
             state = state._replace(V=V, mu0=m0, mu1=m1, bbox=bb)
             levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded,
-                                      lv_box0, bb, self._smoother_bf16))
+                                      lv_box0, bb, self._smoother_bf16,
+                                      self._op_bf16))
             new, aux = mom_step(cfg, levels, state)
             aux["band_ok"] = _band_covered(dc, bb)
             return _cs(new), aux
@@ -330,7 +341,8 @@ class Simulation:
             return (V, m0, m1, bb, self._band_covered(dc, bb),
                     self._cl(build_levels(m0, cfg.perdir, cfg.sharded,
                                           self._lv_box, bb,
-                                          self._smoother_bf16)))
+                                          self._smoother_bf16,
+                                          self._op_bf16)))
 
         V, m0, m1, bb, ok, levels = jax.jit(_measure)(
             jnp.asarray(t, cfg.dtype))
