@@ -50,9 +50,10 @@ def headline(quick):
     sim = sphere_3d(n=n, m=m, dtype=jnp.float32)
 
     # warm-up outside the timed region: compiles, plus the remote runtime's
-    # per-executable warm phase (~hundreds of executions before it reaches
-    # steady state — measured 2.65 ms/step steady vs 4-7 ms cold)
-    warm = 50 if quick else 300
+    # per-executable warm phase (~hundreds of EXECUTIONS before it reaches
+    # steady state — measured 2.65 ms/step steady vs 4-7 ms cold); with the
+    # auto-unroll megastep one launch advances several steps
+    warm = (50 if quick else 300) * getattr(sim, "_unroll", 1)
     sim.steps(warm, remeasure=False)
     jax.block_until_ready(sim.flow.u)
     n_warm = len(sim.pois_n)
@@ -148,12 +149,15 @@ def circle_2d_wall():
 
 def small_config(name, make, remeasure=False, warm=600, steps=300):
     """Small configs are launch-overhead-bound and the remote runtime has a
-    per-executable warm phase of several hundred executions (docs/PERF.md:
+    per-executable warm phase of several hundred EXECUTIONS (docs/PERF.md:
     plate remeasure 62 -> 4 ms/step between execution 20 and 600), so the
     warm-up must run well past it or the recorded number is a cold-phase
-    artifact."""
+    artifact.  ``warm``/``steps`` count launches: with the auto-unroll
+    megastep (scripts/ab_unroll.py) one launch advances ``unroll`` steps."""
     sim = make()
-    spp = _steady_step_time(sim, warm=warm, steps=steps, remeasure=remeasure)
+    u = getattr(sim, "_unroll", 1)
+    spp = _steady_step_time(sim, warm=warm * u, steps=steps * u,
+                            remeasure=remeasure)
     cells = 1
     for s in sim.cfg.S:
         cells *= s - 2

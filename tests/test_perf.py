@@ -98,12 +98,28 @@ def test_unroll_megastep_matches_host_loop():
     ref = Simulation((N, N), (1, 0), N, **kw)
     ref.steps(5, remeasure=True)
     un = Simulation((N, N), (1, 0), N, unroll=3, **kw)
-    un.steps(5, remeasure=True)  # one k=3 megastep + one k=2 remainder
+    un.steps(5, remeasure=True)  # one k=3 megastep + 2 single-step remainder
     assert len(un.dts) == 5 + 1
     assert np.allclose(ref.dts, un.dts, atol=1e-6)
     assert [tuple(p) for p in ref.pois_n] == [tuple(p) for p in un.pois_n]
     assert np.allclose(np.asarray(ref.flow.u), np.asarray(un.flow.u),
                        atol=1e-5)
-    # exactly two program variants (k=3 and the k=2 remainder), no retraces
+    # remainders reuse the single-step program: exactly ONE megastep variant
+    # regardless of batch size (run_record's chunk ramp must not compile one
+    # program per distinct size)
     un.steps(3, remeasure=True)
-    assert un._steps_k._cache_size() == 2
+    un.steps(4, remeasure=True)
+    assert un._steps_k._cache_size() == 1
+
+def test_unroll_auto_default(monkeypatch):
+    """unroll=None auto-selects the megastep only where it pays (measured
+    sweep in scripts/ab_unroll.py): TPU backend AND <=600k interior cells.
+    CPU backends (this suite) stay at 1 — launches are cheap there and
+    tracing k step copies is not."""
+    assert plate_sim()._unroll == 1  # cpu backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sim = Simulation((16, 16), (1, 0), 16, dtype=f32)
+    assert sim._unroll == 8
+    # explicit unroll always overrides the heuristic
+    sim = Simulation((16, 16), (1, 0), 16, dtype=f32, unroll=2)
+    assert sim._unroll == 2

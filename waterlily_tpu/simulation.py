@@ -82,8 +82,14 @@ class Simulation:
       `steps()` batching loop — amortizes the per-launch floor (~1.2 ms on
       remote-tunnel runtimes) on launch-bound small grids without touching
       `lax.scan` (whose loop-boundary carry handling is pathological there,
-      docs/PERF.md).  Program size and compile time grow ∝ unroll; default
-      1 (off) pending same-session A/B numbers per config class.
+      docs/PERF.md).  Program size and compile time grow ∝ unroll.
+      None (default) auto-selects from the same-session A/B sweep
+      (scripts/ab_unroll.py, docs/PERF.md): 8 on the TPU backend for grids
+      up to 600k interior cells (measured 4.7× on TGV 64², 6.8× on the
+      130² plate remeasure, 1.12× on the 96×64×64 sphere; flat beyond
+      u=8), 1 elsewhere (large grids are compute-bound — the launch floor
+      is ~2% of a 256³ step — and CPU launches are cheap while tracing k
+      step copies is not).
     """
 
     def __init__(self, dims, u_BC, L, dt=0.25, nu=0.0, g=None, U=None,
@@ -91,7 +97,7 @@ class Simulation:
                  dtype=jnp.float32, limiter=quick, tol=1e-4, itmx=32,
                  log=False, mesh=None, bbox=True, fixed_iters=None,
                  banded_levels=False, smoother_bf16=True, op_bf16=None,
-                 unroll=1, implicit_diff=False):
+                 unroll=None, implicit_diff=False):
         D = len(dims)
         if callable(u_BC) and callable(ulam):
             raise ValueError("u_BC and ulam cannot both be functions")
@@ -117,6 +123,11 @@ class Simulation:
         self._smoother_bf16 = bool(smoother_bf16)
         # bf16 operator-coefficient shadows (None follows poisson.BF16_OP)
         self._op_bf16 = None if op_bf16 is None else bool(op_bf16)
+        if unroll is None:
+            # auto: megasteps pay only where the per-launch floor dominates
+            # (TPU tunnel, small grids) — see the constructor docstring
+            unroll = (8 if jax.default_backend() == "tpu"
+                      and math.prod(dims) <= 600_000 else 1)
         self._unroll = max(1, int(unroll))
         self._cfg_kw = dict(D=D, S=tuple(n + 2 for n in dims), nu=float(nu),
                             U=u_BC, g=g, perdir=tuple(perdir),
@@ -404,30 +415,36 @@ class Simulation:
             return self
         remeasure = remeasure and not isinstance(self.body, NoBody)
         oks = None
-        if self._unroll > 1:
+        if self._unroll > 1 and int(n) >= self._unroll:
+            # full-width megasteps only; the remainder (n mod unroll) falls
+            # through to the single-step host loop below, so a run only ever
+            # compiles TWO step executables (the k=unroll megastep + the
+            # single step) no matter how callers batch — run_record's chunk
+            # ramp would otherwise trace one program per distinct size
             banded = remeasure and self.cfg.bbox_shape is not None
             rows, dt_rows, ok_rows = [], [], []
             done, since = 0, 0
-            while done < int(n):
-                kk = min(self._unroll, int(n) - done)
+            k = self._unroll
+            while done + k <= int(n):
                 self.flow, (p, d, o) = self._steps_k(
-                    self.flow, self.levels, kk, bool(remeasure))
+                    self.flow, self.levels, k, bool(remeasure))
                 rows.append(p)
                 dt_rows.append(d)
-                done += kk
+                done += k
                 if banded:
                     ok_rows.append(o)
-                    since += kk
+                    since += k
                     if since >= 32:  # same cadence as the single-step loop
                         since = 0
                         if not bool(jnp.all(o)):
                             self._append_history(jnp.concatenate(rows),
                                                  jnp.concatenate(dt_rows))
                             raise RuntimeError(self._BAND_ERR)
-            pois_n = jnp.concatenate(rows)
-            dts = jnp.concatenate(dt_rows)
-            if ok_rows:
-                oks = jnp.concatenate(ok_rows)
+            self._append_history(jnp.concatenate(rows),
+                                 jnp.concatenate(dt_rows))
+            if ok_rows and not bool(jnp.all(jnp.concatenate(ok_rows))):
+                raise RuntimeError(self._BAND_ERR)
+            return self.steps(int(n) - done, remeasure=remeasure)
         elif math.prod(self.cfg.S) >= self._loop_threshold:
             fn = self._step_remeasure_d if remeasure else self._step_static_d
             rows, dt_rows, ok_rows = [], [], []
