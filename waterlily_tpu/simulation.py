@@ -404,13 +404,17 @@ class Simulation:
         """Advance ``n`` steps with no host sync until the final state is
         fetched — the benchmarking fast path.
 
-        By default every grid drives the donated single-step program in an
-        async host loop (zero-sync semantics — dispatch never blocks — and
-        it avoids the scan carry copies that cripple multi-GB states on
-        remote-tunnel runtimes; measured same-session at 256³: 86 ms/step
-        host-driven vs 540+ ms scanned).  Grids below ``_loop_threshold``
-        cells run one on-device `lax.scan` instead — the default threshold
-        is set from same-session A/B measurements in docs/PERF.md."""
+        With ``unroll > 1`` (the TPU small-grid default — see the
+        constructor docstring) full-width k-step megasteps run first and
+        the remainder reuses the single-step program, so any batching
+        pattern compiles exactly two step executables.  Otherwise every
+        grid drives the donated single-step program in an async host loop
+        (zero-sync semantics — dispatch never blocks — and it avoids the
+        scan carry copies that cripple multi-GB states on remote-tunnel
+        runtimes; measured same-session at 256³: 86 ms/step host-driven vs
+        540+ ms scanned).  Grids below ``_loop_threshold`` cells run one
+        on-device `lax.scan` instead — the default threshold is set from
+        same-session A/B measurements in docs/PERF.md."""
         if int(n) <= 0:
             return self
         remeasure = remeasure and not isinstance(self.body, NoBody)
