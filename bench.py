@@ -194,8 +194,12 @@ def _wait_for_backend(max_wait_s=900, poll_s=30):
     deadline = time.time() + max_wait_s
     while True:
         try:
+            # assert a non-CPU platform: jax may warn and fall back to the
+            # CPU backend when the TPU plugin fails to init, which would
+            # "pass" the probe and silently bench the 1-core host instead
             r = subprocess.run([sys.executable, "-c",
-                                "import jax; jax.devices()"],
+                                "import jax; assert jax.devices()[0]"
+                                ".platform != 'cpu'"],
                                capture_output=True, timeout=180)
             if r.returncode == 0:
                 return True

@@ -237,6 +237,13 @@ def test_simulation_implicit_diff_plumbs_and_validates():
         Simulation((8, 8), (1.0, 0.0), 8, implicit_diff=True, fixed_iters=1)
     with pytest.raises(ValueError):
         Simulation((8, 8), (1.0, 0.0), 8, implicit_diff=True, log=True)
+    with pytest.raises(ValueError):
+        # the adjoint transposes the f32 operator; a primal converged
+        # against the bf16-rounded A16 would violate A x* = Pz
+        Simulation((8, 8), (1.0, 0.0), 8, implicit_diff=True, op_bf16=True)
+    # ... and the module default cannot silently re-enable the shadows
+    sim = Simulation((8, 8), (1.0, 0.0), 8, implicit_diff=True)
+    assert sim._op_bf16 is False
 
     sim = Simulation((8, 8), (1.0, 0.0), 8, nu=0.1, implicit_diff=True)
     sim.step()
@@ -293,3 +300,38 @@ def test_implicit_grad_through_body_measurement():
                 vg(jnp.asarray(xi0 - h, f64))[0]) / (2 * h))
     assert np.isfinite(g)
     assert np.isclose(g, fd, rtol=1e-4), (g, fd)
+
+def test_implicit_grad_linear_in_loss_scale():
+    """The adjoint solve's stopping test is absolute (r.r >= tol) while the
+    cotangent's scale follows the loss's: without RHS normalization a loss
+    scaled by 1e-6 makes ||xbar||^2 < tol, the adjoint solve exits after
+    one forced iteration, and AD linearity grad(c*f) == c*grad(f) breaks
+    at the DEFAULT tol (the FD oracles all use tol<=1e-12 and hide it)."""
+    from waterlily_tpu.ops.multigrid import ml_solve_implicit
+    from waterlily_tpu.ops.bc import bc_vector
+    from waterlily_tpu.grid import field_dot
+
+    S = (34, 34)  # variable coefficients at this size: the truncated
+    # adjoint (pre-fix) is 3.3% wrong here, ~2x wrong at 66^2
+    gx = jax.lax.broadcasted_iota(f64, S, 0)
+    gy = jax.lax.broadcasted_iota(f64, S, 1)
+    mod = 1.0 + 0.9 * jnp.sin(0.7 * gx) * jnp.cos(0.5 * gy)
+    mu0 = bc_vector(mod[None] * jnp.ones((2,) + S, f64), (0.0, 0.0),
+                    save_exit=False)
+    z = jnp.sin(1.3 * gx) * jnp.sin(0.9 * gy)
+    z = z - jnp.mean(z)
+    w = jnp.cos(0.8 * gx + 0.3) * jnp.cos(1.1 * gy)
+
+    def loss(th, c):
+        levels = build_levels(mu0)
+        x, _n = ml_solve_implicit(levels, jnp.zeros(S, f64), th * z,
+                                  tol=1e-4, itmx=64)  # the DEFAULT tol
+        return c * field_dot(x, w)
+
+    g1 = float(jax.grad(loss)(jnp.asarray(1.0, f64), 1.0))
+    g2 = float(jax.grad(loss)(jnp.asarray(1.0, f64), 1e-6))
+    assert np.isfinite(g1) and abs(g1) > 1e-12
+    assert np.isclose(g2, 1e-6 * g1, rtol=1e-6), (g1, g2)
+    # zero cotangent stays exactly zero (the normalization guard)
+    g0 = float(jax.grad(loss)(jnp.asarray(1.0, f64), 0.0))
+    assert g0 == 0.0

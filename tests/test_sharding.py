@@ -380,3 +380,28 @@ def test_implicit_diff_grad_under_mesh_matches_single():
     # exact only at convergence, so agreement is tol-limited, not bitwise
     assert np.isfinite(g8) and abs(g8) > 1.0
     assert np.isclose(g1, g8, rtol=1e-6), (g1, g8)
+
+def test_conv_diff_threads_pallas_ok_into_shardmap(monkeypatch):
+    """pallas_ok=False (reverse-AD programs: Mosaic has no vjp rule) must
+    reach the per-shard kernel dispatch of the shard_map branch, not just
+    the direct Pallas gate — on a real TPU mesh the shardmap default would
+    otherwise pick compiled kernels inside jax.grad and error."""
+    from waterlily_tpu.parallel import shard_smooth
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops import convect
+    from waterlily_tpu.ops.convect import conv_diff, quick
+
+    S = (16, 16, 32)
+    u = jnp.ones((3,) + S, jnp.float32)
+    mesh = mesh_for(S, 8)
+    seen = {}
+
+    def spy(mesh_, u_, nu_, limiter_, pallas=None):
+        seen["pallas"] = pallas
+        return jnp.zeros_like(u_)
+
+    monkeypatch.setattr(shard_smooth, "shardmap_conv_diff", spy)
+    conv_diff(u, 0.01, (), quick, sharded=True, mesh=mesh, pallas_ok=False)
+    assert seen["pallas"] == "off"
+    conv_diff(u, 0.01, (), quick, sharded=True, mesh=mesh, pallas_ok=True)
+    assert seen["pallas"] is None  # kernel-size/backend auto-dispatch

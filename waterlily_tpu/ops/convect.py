@@ -162,7 +162,11 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
     if sharded and mesh is not None and not perdir:
         from ..parallel.shard_smooth import can_shardmap, shardmap_conv_diff
         if can_shardmap(mesh, S, perdir):
-            return shardmap_conv_diff(mesh, u, nu, limiter)
+            # pallas_ok=False must reach the per-shard kernel dispatch too:
+            # a reverse-AD program would otherwise hit a vjp-less Mosaic
+            # call inside the shard_map region on real TPU meshes
+            return shardmap_conv_diff(mesh, u, nu, limiter,
+                                      pallas=None if pallas_ok else "off")
     # single zero-padded buffer: every stencil read below is a slice of
     # this.  The pad planes are never *selected* (boundary faces take the
     # cd / periodic-wrap branches and the write mask clips the rest), so a

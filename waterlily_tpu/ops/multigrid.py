@@ -344,9 +344,16 @@ def _implicit_bwd(tol, itmx, res, ct):
     (xbar,) = bcp_vjp(xbar)
     # adjoint solve: A symmetric, so the transposed system reuses the same
     # level stack; ml_solve's residual projects the RHS (mean correction +
-    # dead mask) exactly as the primal solve does.
-    lam, _r, _n = ml_solve(levels, jnp.zeros_like(xs), xbar,
+    # dead mask) exactly as the primal solve does.  The RHS is normalized
+    # first: ml_solve's stopping test is ABSOLUTE (r·r >= tol) while the
+    # cotangent's scale follows the loss's — an unscaled solve would quit
+    # after the single forced iteration whenever ||x̄||² < tol (silently
+    # wrong gradients, and AD linearity grad(c·f) == c·grad(f) would break).
+    s = jnp.sqrt(field_dot(xbar, xbar))
+    safe = jnp.where(s > 0, s, 1.0).astype(xbar.dtype)
+    lam, _r, _n = ml_solve(levels, jnp.zeros_like(xs), xbar / safe,
                            tol=tol, itmx=itmx)
+    lam = jnp.where(s > 0, lam * safe, jnp.zeros_like(lam))
     lam_int = jnp.where(interior_view(fine.iD, D) == 0, 0.0,
                         interior_view(lam, D))
     zbar = pad_interior(lam_int)

@@ -123,6 +123,17 @@ class Simulation:
         self._smoother_bf16 = bool(smoother_bf16)
         # bf16 operator-coefficient shadows (None follows poisson.BF16_OP)
         self._op_bf16 = None if op_bf16 is None else bool(op_bf16)
+        if implicit_diff:
+            # the implicit adjoint transposes the f32 operator (fine.L/D);
+            # a primal that converged against the bf16-rounded A16 would
+            # violate the implicit-function premise A·x* = Pz by the
+            # rounding of the taps.  Force the shadows off (the module
+            # default BF16_OP could otherwise enable them silently).
+            if self._op_bf16:
+                raise ValueError("op_bf16 and implicit_diff are "
+                                 "incompatible: the adjoint differentiates "
+                                 "the f32 operator")
+            self._op_bf16 = False
         if unroll is None:
             # auto: megasteps pay only where the per-launch floor dominates
             # (TPU tunnel, small grids) — see the constructor docstring
@@ -415,68 +426,74 @@ class Simulation:
         540+ ms scanned).  Grids below ``_loop_threshold`` cells run one
         on-device `lax.scan` instead — the default threshold is set from
         same-session A/B measurements in docs/PERF.md."""
-        if int(n) <= 0:
+        n = int(n)
+        if n <= 0:
             return self
         remeasure = remeasure and not isinstance(self.body, NoBody)
-        oks = None
-        if self._unroll > 1 and int(n) >= self._unroll:
+        k = self._unroll
+        if k > 1 and n >= k:
             # full-width megasteps only; the remainder (n mod unroll) falls
             # through to the single-step host loop below, so a run only ever
             # compiles TWO step executables (the k=unroll megastep + the
             # single step) no matter how callers batch — run_record's chunk
             # ramp would otherwise trace one program per distinct size
             banded = remeasure and self.cfg.bbox_shape is not None
-            rows, dt_rows, ok_rows = [], [], []
-            done, since = 0, 0
-            k = self._unroll
-            while done + k <= int(n):
+
+            def launch():
                 self.flow, (p, d, o) = self._steps_k(
                     self.flow, self.levels, k, bool(remeasure))
-                rows.append(p)
-                dt_rows.append(d)
-                done += k
-                if banded:
-                    ok_rows.append(o)
-                    since += k
-                    if since >= 32:  # same cadence as the single-step loop
-                        since = 0
-                        if not bool(jnp.all(o)):
-                            self._append_history(jnp.concatenate(rows),
-                                                 jnp.concatenate(dt_rows))
-                            raise RuntimeError(self._BAND_ERR)
-            self._append_history(jnp.concatenate(rows),
-                                 jnp.concatenate(dt_rows))
-            if ok_rows and not bool(jnp.all(jnp.concatenate(ok_rows))):
-                raise RuntimeError(self._BAND_ERR)
-            return self.steps(int(n) - done, remeasure=remeasure)
+                return p, d, o if banded else None
+
+            self._drive(n // k, k, launch)
+            return self.steps(n - n // k * k, remeasure=remeasure)
         elif math.prod(self.cfg.S) >= self._loop_threshold:
             fn = self._step_remeasure_d if remeasure else self._step_static_d
-            rows, dt_rows, ok_rows = [], [], []
-            for k in range(int(n)):
+
+            def launch():
                 self.flow, aux = fn(self.flow, self.levels)
-                rows.append(aux["pois_n"])
-                dt_rows.append(aux["dt"])
-                if "band_ok" in aux:
-                    ok_rows.append(aux["band_ok"])
-                    # periodic coverage check (one scalar sync per 32 steps):
-                    # without it a band that outgrows its window would run
-                    # every remaining step of the batch on truncated physics
-                    if k % 32 == 31 and not bool(aux["band_ok"]):
-                        # flush the completed steps' history first so
-                        # len(dts) stays consistent with the advanced state
-                        self._append_history(jnp.stack(rows),
-                                             jnp.stack(dt_rows))
-                        raise RuntimeError(self._BAND_ERR)
-            pois_n = jnp.stack(rows)
-            dts = jnp.stack(dt_rows)
-            if ok_rows:
-                oks = jnp.stack(ok_rows)
+                ok = aux.get("band_ok")
+                return (aux["pois_n"][None], aux["dt"][None],
+                        None if ok is None else ok[None])
+
+            return self._drive(n, 1, launch)
         else:
             self.flow, (pois_n, dts, oks) = self._scan_steps(
-                self.flow, self.levels, int(n), bool(remeasure))
-        # reconstruct host history lazily (single device sync)
-        self._append_history(pois_n, dts)
-        if oks is not None and not bool(jnp.all(oks)):
+                self.flow, self.levels, n, bool(remeasure))
+            # reconstruct host history lazily (single device sync)
+            self._append_history(pois_n, dts)
+            if not bool(jnp.all(oks)):
+                raise RuntimeError(self._BAND_ERR)
+        return self
+
+    def _drive(self, n_launches, k, launch):
+        """Shared accumulation loop for the host-driven stepping paths.
+
+        ``launch()`` advances the state by ``k`` steps and returns stacked
+        ``(pois_n, dt, band_ok-or-None)`` rows.  Band coverage is checked
+        every ≥32 accumulated steps over the WHOLE window since the last
+        check (one scalar sync; without it a band that outgrows its window
+        would run every remaining step of the batch on truncated physics),
+        flushing the completed steps' history before raising so ``len(dts)``
+        stays consistent with the advanced state."""
+        rows, dt_rows, ok_rows = [], [], []
+        win, since = [], 0
+        for _ in range(int(n_launches)):
+            p, d, o = launch()
+            rows.append(p)
+            dt_rows.append(d)
+            if o is not None:
+                ok_rows.append(o)
+                win.append(o)
+                since += k
+                if since >= 32:
+                    bad = not bool(jnp.all(jnp.concatenate(win)))
+                    win, since = [], 0
+                    if bad:
+                        self._append_history(jnp.concatenate(rows),
+                                             jnp.concatenate(dt_rows))
+                        raise RuntimeError(self._BAND_ERR)
+        self._append_history(jnp.concatenate(rows), jnp.concatenate(dt_rows))
+        if ok_rows and not bool(jnp.all(jnp.concatenate(ok_rows))):
             raise RuntimeError(self._BAND_ERR)
         return self
 
