@@ -163,9 +163,13 @@ def pcg_auto(lev, x, r, it: int = 6, xla_pcg=None):
            # the fused kernel applies the f32 operator; a level carrying
            # bf16 shadows (L16) maintains its state with the ROUNDED A16
            # everywhere else, and mixing the two operators in one solve is
-           # an inconsistency CG amplifies.  Today the gates cannot overlap
-           # (blocked needs >=2M cells, which never fits VMEM_LIMIT), but
-           # keep the exclusion explicit against future gate changes.
+           # an inconsistency CG amplifies.  Since MIN_CELLS dropped to
+           # 100k the blocked and fused gates CAN overlap on strongly
+           # anisotropic levels — the fused whole-solve kernel wins the
+           # dispatch there (one launch beats slab streaming when the
+           # level fits VMEM); residual/increments elsewhere still use the
+           # blocked forms, which is consistent: both apply the bit-exact
+           # f32 operator.
            and lev.L16 is None
            and jax.default_backend() == "tpu"
            and x.dtype == jnp.float32

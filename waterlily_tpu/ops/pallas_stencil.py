@@ -39,6 +39,15 @@ __all__ = ["mult3d_pallas", "increment3d_pallas", "use_blocked", "BLOCK",
 
 BLOCK = 2  # slab rows; ~2x the block working set must fit 16MB VMEM at 256^3
 
+# Minimum interior+ghost cell count for the blocked/fused kernel tier.
+# The tier wins at EVERY probed 3D size (same-session A/B ladder,
+# scripts/ab_small_blocked.py + the 48³/64³ knee probe, docs/PERF.md):
+# 48³ 1.40×, 64³ 1.89×, (96,64,64) 1.49×, donut (128,64,64) 1.82×,
+# 256³-class from the round-2/3 ladders — identical pois_n everywhere
+# (the kernels are bit-faithful).  The floor guards only the untested
+# tiny-grid regime below the smallest verified config (50³ = 125k).
+MIN_CELLS = 100_000
+
 
 def _row_bytes(S, dtype) -> int:
     """Padded bytes of one (1, S1, S2) row block (TPU tiles the last two
@@ -216,7 +225,7 @@ def use_blocked(S, dtype, sharded: bool = False) -> bool:
     return (HAS_PALLAS and not sharded and len(S) == 3
             and dtype == jnp.float32
             and jax.default_backend() == "tpu"
-            and math.prod(S) >= 2_000_000 and S[0] >= 2 * BLOCK)
+            and math.prod(S) >= MIN_CELLS and S[0] >= 2 * BLOCK)
 
 
 # --- carried-rows streaming mult/increment ---------------------------------
@@ -496,7 +505,7 @@ def use_bc3d(S, dtype) -> bool:
     (the caller checks its own ``sharded`` flag before this gate)."""
     return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
             and jax.default_backend() == "tpu"
-            and math.prod(S) >= 2_000_000 and S[0] >= BLOCK_BC)
+            and math.prod(S) >= MIN_CELLS and S[0] >= BLOCK_BC)
 
 
 # --- fused projection tail (big 3D, single-device) -------------------------
@@ -567,7 +576,7 @@ def use_project3d(S, dtype) -> bool:
     level (the banded window branch keeps the XLA path)."""
     return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
             and jax.default_backend() == "tpu"
-            and math.prod(S) >= 2_000_000 and S[0] >= BLOCK_PR)
+            and math.prod(S) >= MIN_CELLS and S[0] >= BLOCK_PR)
 
 
 # --- fused divergence + solver warm start (big 3D, single-device) ----------
@@ -705,7 +714,7 @@ def use_ana(S, dtype) -> bool:
     """Gate for the analytic Pallas stencil (banded levels are never sharded)."""
     return (HAS_PALLAS and len(S) == 3 and dtype == jnp.float32
             and jax.default_backend() == "tpu"
-            and math.prod(S) >= 2_000_000 and S[0] >= 2 * ANA_BLOCK)
+            and math.prod(S) >= MIN_CELLS and S[0] >= 2 * ANA_BLOCK)
 
 
 # --- blocked conv_diff (non-periodic 3D) -----------------------------------
