@@ -283,6 +283,67 @@ def test_shardmap_pcg_pallas_interpret_matches():
     assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-6)
 
 
+@pytest.mark.parametrize("S", [(32, 32), (16, 16, 32)])
+def test_shardmap_increment_residual_match_dense(S):
+    """The shard_map increment (jacobi/V-cycle fine stencils) and residual
+    (body-masked + psum mean correction) equal the dense forms — the
+    remaining fine-level smoother-ladder phases of the multi-chip fast
+    path (round-3 verdict item 1b)."""
+    from waterlily_tpu.parallel.shard_smooth import can_shardmap
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.poisson import make_level, increment, residual
+    from waterlily_tpu.grid import mask_interior
+    key = jax.random.PRNGKey(11)
+    D = len(S)
+    L = jnp.abs(jax.random.normal(key, (D,) + S, f32)) * 0.2 + 0.5
+    # a dead-cell block exercises the iD==0 mask in residual
+    L = L.at[(0,) + tuple(slice(4, 8) for _ in range(D))].set(0.0)
+    lev = make_level(L)
+    mesh = mesh_for(S, 8)
+    assert can_shardmap(mesh, S, ())
+    lev_s = lev.replace(mesh=mesh, sharded=True)
+
+    x = jax.random.normal(jax.random.PRNGKey(12), S, f32)
+    z = mask_interior(jax.random.normal(jax.random.PRNGKey(13), S, f32))
+    r_ref = jax.jit(lambda l, x, z: residual(l, x, z))(lev, x, z)
+    r_s = jax.jit(lambda l, x, z: residual(l, x, z))(lev_s, x, z)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)
+
+    eps = mask_interior(jax.random.normal(jax.random.PRNGKey(14), S, f32))
+    x1, r1 = jax.jit(lambda l, x, r, e: increment(l, x, r, e))(
+        lev, x, r_ref, eps)
+    x1s, r1s = jax.jit(lambda l, x, r, e: increment(l, x, r, e))(
+        lev_s, x, r_s, eps)
+    assert np.allclose(np.asarray(x1), np.asarray(x1s), atol=1e-6)
+    assert np.allclose(np.asarray(r1), np.asarray(r1s), atol=1e-5)
+
+
+def test_shardmap_increment_residual_pallas_interpret():
+    """The per-shard blocked kernels inside the shard_map increment/residual
+    (the compiled-on-TPU branch) — interpret mode on the virtual mesh."""
+    from waterlily_tpu.parallel.shard_smooth import (shardmap_increment,
+                                                     shardmap_residual)
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.poisson import make_level, increment, residual
+    from waterlily_tpu.grid import mask_interior
+    S = (16, 16, 16)
+    key = jax.random.PRNGKey(15)
+    L = jnp.abs(jax.random.normal(key, (3,) + S, f32)) * 0.2 + 0.5
+    lev = make_level(L)
+    mesh = mesh_for(S, 8)
+    lev_s = lev.replace(mesh=mesh, sharded=True)
+    x = jax.random.normal(jax.random.PRNGKey(16), S, f32)
+    z = mask_interior(jax.random.normal(jax.random.PRNGKey(17), S, f32))
+    r_ref = residual(lev, x, z)
+    r_s = shardmap_residual(lev_s, x, z, pallas="interpret")
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)
+    eps = mask_interior(jax.random.normal(jax.random.PRNGKey(18), S, f32))
+    x1, r1 = increment(lev, x, r_ref, eps)
+    x1s, r1s = shardmap_increment(lev_s, x, r_ref, eps, pallas="interpret")
+    assert np.allclose(np.asarray(x1), np.asarray(x1s), atol=1e-6)
+    assert np.allclose(np.asarray(r1), np.asarray(r1s), atol=1e-5)
+
+
 def test_sharded_smoother_dispatch_via_step():
     """A sharded step on an evenly-dividing mesh routes its smoother through
     the shard_map fast path and still matches the single-device step."""

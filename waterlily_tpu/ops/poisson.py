@@ -326,6 +326,10 @@ def mult(lev: PoissonLevel, x: jax.Array) -> jax.Array:
 def residual(lev: PoissonLevel, x: jax.Array, z: jax.Array) -> jax.Array:
     """r = z - Ax, zeroed inside bodies and mean-corrected for solvability
     (reference ``residual!``, src/Poisson.jl:91-97)."""
+    if lev.mesh is not None:
+        from ..parallel.shard_smooth import shardmap_residual, can_shardmap
+        if can_shardmap(lev.mesh, x.shape, lev.perdir):
+            return shardmap_residual(lev, x, z)
     D = len(x.shape)
     xb = bc_scalar_periodic(x, lev.perdir)
     if lev.banded:
@@ -356,6 +360,10 @@ def increment(lev: PoissonLevel, x, r, eps):
     ghost-zero so ``r`` stays ghost-zero.  Periodic-ghost pollution of ``x``
     is benign: every read of ``x`` ghosts goes through ``perBC`` first.
     """
+    if lev.mesh is not None:
+        from ..parallel.shard_smooth import shardmap_increment, can_shardmap
+        if can_shardmap(lev.mesh, x.shape, lev.perdir):
+            return shardmap_increment(lev, x, r, eps)
     if lev.blocked:
         from .pallas_stencil import increment3d_pallas
         if lev.bf16_eps:

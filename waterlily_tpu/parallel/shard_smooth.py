@@ -35,7 +35,8 @@ from jax.sharding import Mesh
 from .halo import (halo_exchange, _axis_shards, spatial_specs, shift_up,
                    ghost_mask_local, get_shard_map)
 
-__all__ = ["shardmap_pcg", "can_shardmap", "local_mult"]
+__all__ = ["shardmap_pcg", "can_shardmap", "local_mult",
+           "shardmap_increment", "shardmap_residual"]
 
 
 def _spatial_names(mesh: Mesh):
@@ -175,6 +176,78 @@ def _local_shape(mesh: Mesh, S: tuple) -> tuple:
     names = _spatial_names(mesh)
     return tuple(S[k] // (mesh.shape[names[k]] if k < len(names) else 1)
                  for k in range(len(S)))
+
+
+def _auto_pallas(mesh: Mesh, S: tuple, dtype, extra: int = 2) -> str:
+    """Per-shard kernel dispatch default: the blocked Mosaic kernels on real
+    TPU meshes when the halo-extended local block is kernel-sized, the XLA
+    slice forms elsewhere (CPU/virtual meshes, tiny blocks)."""
+    from ..ops.pallas_stencil import use_blocked
+    loc = _local_shape(mesh, S)
+    return ("compiled"
+            if jax.default_backend() == "tpu"
+            and use_blocked(tuple(s + extra for s in loc), dtype,
+                            sharded=False)
+            else "off")
+
+
+def shardmap_increment(lev, x, r, eps, pallas: str | None = None):
+    """Fused ``x += eps; r -= A·eps`` with explicit ppermute halos.
+
+    The V-cycle's remaining fine-level stencils (the Jacobi pre-smooth and
+    the prolongate-increment, reference src/Poisson.jl:99-113) run the same
+    per-shard blocked kernel + halo protocol as `shardmap_pcg`, so a sharded
+    step's whole smoother ladder is kernel-tier.  ``eps`` must be ghost-zero
+    (non-periodic only — `can_shardmap` gates out perdir)."""
+    mesh = lev.mesh
+    D = x.ndim
+    S = x.shape
+    sc, vec = spatial_specs(mesh, D)
+    ax = _axis_shards(mesh, D)
+    if pallas is None:
+        pallas = _auto_pallas(mesh, S, x.dtype)
+
+    def local(L_l, Dd_l, x_l, r_l, eps_l):
+        mask = ghost_mask_local(mesh, S, x_l.shape)
+        Lup = [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
+        ae = local_mult(mesh, S, L_l, Lup, Dd_l, eps_l, mask, pallas)
+        return x_l + eps_l, r_l - ae
+
+    fn = get_shard_map()(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
+                         out_specs=(sc, sc), check_vma=False)
+    return fn(lev.L, lev.D, x, r, eps)
+
+
+def shardmap_residual(lev, x, z, pallas: str | None = None):
+    """``r = z - A·x`` body-masked and mean-corrected (reference
+    ``residual!``, src/Poisson.jl:91-97) with explicit collectives: one
+    ppermute halo round, per-shard blocked kernel, and the solvability mean
+    as per-shard partial sums + psum."""
+    from ..grid import inside_count
+    mesh = lev.mesh
+    D = x.ndim
+    S = x.shape
+    dt = x.dtype
+    names = _spatial_names(mesh)
+    sc, vec = spatial_specs(mesh, D)
+    ax = _axis_shards(mesh, D)
+    if pallas is None:
+        pallas = _auto_pallas(mesh, S, dt)
+    cnt = inside_count(S)
+    teps = 2 * jnp.finfo(dt).eps
+
+    def local(L_l, Dd_l, iD_l, x_l, z_l):
+        mask = ghost_mask_local(mesh, S, x_l.shape)
+        Lup = [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
+        ax_l = local_mult(mesh, S, L_l, Lup, Dd_l, x_l, mask, pallas)
+        r_int = jnp.where(mask & (iD_l != 0), z_l - ax_l, 0.0).astype(dt)
+        s = jax.lax.psum(jnp.sum(r_int), names) / cnt
+        corr = jnp.where(jnp.abs(s) <= teps, 0.0, s).astype(dt)
+        return jnp.where(mask, r_int - corr, 0.0).astype(dt)
+
+    fn = get_shard_map()(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
+                         out_specs=sc, check_vma=False)
+    return fn(lev.L, lev.D, lev.iD, x, z)
 
 
 def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
