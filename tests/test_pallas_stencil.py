@@ -263,6 +263,27 @@ def test_blocked_conv_diff():
     assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
 
 
+@pytest.mark.parametrize("perdir", [(0,), (1,), (2,), (0, 2), (0, 1, 2)])
+def test_blocked_conv_diff_periodic(perdir):
+    """Periodic flux variants in the blocked conv kernel (ϕuP wrap + the
+    top-face flux copy, reference src/Flow.jl:7,60) equal the XLA
+    gather-form core per direction and for the fully periodic 3D-TGV
+    class (round-3 verdict item 4)."""
+    from waterlily_tpu.ops.convect import conv_core, quick
+    from waterlily_tpu.ops.bc import bc_vector
+    from waterlily_tpu.ops.pallas_stencil import conv_diff3d_pallas
+    S = (16, 14, 18)
+    u = jax.random.normal(jax.random.PRNGKey(1), (3,) + S, f32)
+    # conv_diff reads periodic-filled ghosts in production; fill them so the
+    # test state matches the real contract (equality holds either way)
+    u = bc_vector(u, (0.0, 0.0, 0.0), False, perdir)
+    up = jnp.pad(u, [(0, 0)] + [(2, 2)] * 3)
+    r_ref = conv_core(up, S, S, None, 0.05, perdir, quick, u_wrap=u)
+    r_pl = conv_diff3d_pallas(u, 0.05, quick, S, interpret=True,
+                              perdir=perdir)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
+
+
 @pytest.mark.parametrize("perdir", [(), (1,), (0, 2), (0, 1, 2)])
 @pytest.mark.parametrize("save_exit", [False, True])
 def test_bc3d_pallas_bitwise(perdir, save_exit):

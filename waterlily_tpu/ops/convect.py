@@ -155,10 +155,10 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
     """
     D = u.shape[0]
     S = u.shape[1:]
-    if D == 3 and not perdir and pallas_ok:
+    if D == 3 and pallas_ok:
         from .pallas_stencil import use_blocked, conv_diff3d_pallas
         if use_blocked(S, u.dtype, sharded):
-            return conv_diff3d_pallas(u, nu, limiter, S)
+            return conv_diff3d_pallas(u, nu, limiter, S, perdir=perdir)
     if sharded and mesh is not None and not perdir:
         from ..parallel.shard_smooth import can_shardmap, shardmap_conv_diff
         if can_shardmap(mesh, S, perdir):

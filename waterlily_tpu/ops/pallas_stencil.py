@@ -752,7 +752,7 @@ def _supp(S_glob, shape, j, base_ref):
     return m
 
 
-def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
+def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
                       base_ref, *refs):
     """All three sweeps for ONE output component ``i``.
 
@@ -763,8 +763,18 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
     velocity component to its window's first row offset.  ``S`` is the
     array geometry; ``S_glob``/``base_ref`` give the global-grid sizes and
     this array's global offset (equal to S / zeros for whole-grid calls).
+
+    ``perdir`` selects periodic flux variants (reference src/Flow.jl:7,60;
+    whole-grid calls only): face 1's far-upwind tap wraps to interior plane
+    ``S-3`` (ϕuP) and the top face's flux is a copy of face 1's.  Ghost
+    planes of ``u`` are assumed periodic-filled by the caller's BC (the
+    same contract as the XLA `conv_core`).  Along axis 0 the face-1 flux
+    of the copy lives in a different slab, so it is recomputed from six
+    fixed-global-row inputs (``fix_refs``).
     """
+    n_fix = 6 if 0 in perdir else 0
     out_ref = refs[-1]
+    fix_refs = refs[len(refs) - 1 - n_fix:len(refs) - 1]
     wins = {}
     k = 0
     for c, (base, nrows) in bases.items():
@@ -787,18 +797,49 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
     else:
         wshift0 = lambda o: tap(0, o - 1)
 
-    def flux0(s):
-        f, fm1, fm2, fp1 = tap(i, s), tap(i, s - 1), tap(i, s - 2), tap(i, s + 1)
-        w = 0.5 * (tap(0, s) + wshift0(s))
-        cd = 0.5 * (f + fm1)
-        pos = jnp.where(kf0 + s == 1, cd, limiter(fm2, fm1, f))
-        neg = jnp.where(kf0 + s == S_glob[0] - 1, cd, limiter(fp1, f, fm1))
-        return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+    if 0 in perdir:
+        wrap0 = fix_refs[0][0, 0:1]           # comp i, interior plane S-3
+        r0, r1, r2 = (fix_refs[m][0, 0:1] for m in (1, 2, 3))  # rows 0,1,2
+        w0a, w0b = fix_refs[4][0, 0:1], fix_refs[5][0, 0:1]    # u0 rows 0,1
 
-    # sequential flux evaluation (not flux0(0)-flux0(1) in one expression):
-    # halves the concurrent flux temporaries Mosaic must stack-allocate
-    acc = jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(0), 0.0)
-    acc = acc - jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(1), 0.0)
+        def flux0(s):
+            f, fm1, fm2 = tap(i, s), tap(i, s - 1), tap(i, s - 2)
+            w = 0.5 * (tap(0, s) + wshift0(s))
+            # ϕuP: face 1's far-upwind point wraps to plane S-3
+            pos = jnp.where(kf0 + s == 1, limiter(wrap0, fm1, f),
+                            limiter(fm2, fm1, f))
+            neg = limiter(tap(i, s + 1), f, fm1)
+            return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+        # face 1's flux from the fixed rows (the top-face copy, Flow.jl:60)
+        if i == 0:
+            ws1 = w0a
+        elif i == 1:
+            ws1 = _sub_roll(w0b, -1)
+        else:
+            ws1 = _lane_roll(w0b, -1)
+        w1 = 0.5 * (w0b + ws1)
+        F1row = (jnp.where(w1 > 0, w1 * limiter(wrap0, r0, r1),
+                           w1 * limiter(r2, r1, r0)) - nu * (r1 - r0))
+        supp0 = _supp(S_glob, sh, 0, base_ref)
+        acc = jnp.where(supp0, flux0(0), 0.0)
+        F1 = jnp.where(kf0 + 1 == S_glob[0] - 1, F1row, flux0(1))
+        acc = acc - jnp.where(supp0, F1, 0.0)
+    else:
+        def flux0(s):
+            f, fm1, fm2, fp1 = (tap(i, s), tap(i, s - 1), tap(i, s - 2),
+                                tap(i, s + 1))
+            w = 0.5 * (tap(0, s) + wshift0(s))
+            cd = 0.5 * (f + fm1)
+            pos = jnp.where(kf0 + s == 1, cd, limiter(fm2, fm1, f))
+            neg = jnp.where(kf0 + s == S_glob[0] - 1, cd, limiter(fp1, f, fm1))
+            return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+        # sequential flux evaluation (not flux0(0)-flux0(1) in one
+        # expression): halves the concurrent flux temporaries Mosaic must
+        # stack-allocate
+        acc = jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(0), 0.0)
+        acc = acc - jnp.where(_supp(S_glob, sh, 0, base_ref), flux0(1), 0.0)
 
     # axis-1/2 sweeps (sublane/lane rolls)
     for j in (1, 2):
@@ -817,6 +858,27 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
             ws = lambda o: _lane_roll(roll(uj, o), -1)
 
         fi = tap(i, 0)
+
+        if j in perdir:
+            # whole planes live in VMEM: the ϕuP wrap is an in-block slice
+            wrap_pl = jax.lax.slice_in_dim(fi, S[j] - 3, S[j] - 2, axis=j)
+
+            def fluxp(s):
+                f, fm1 = roll(fi, s), roll(fi, s - 1)
+                w = 0.5 * (roll(uj, s) + ws(s))
+                pos = jnp.where(kf + s == 1, limiter(wrap_pl, fm1, f),
+                                limiter(roll(fi, s - 2), fm1, f))
+                neg = limiter(roll(fi, s + 1), f, fm1)
+                return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+            F0 = fluxp(0)
+            acc = acc + jnp.where(supp, F0, 0.0)
+            # top-face flux copies face 1's (periodic calls are whole-grid,
+            # so local plane 1 IS global plane 1)
+            F1 = jnp.where(kf + 1 == S_glob[j] - 1,
+                           jax.lax.slice_in_dim(F0, 1, 2, axis=j), fluxp(1))
+            acc = acc - jnp.where(supp, F1, 0.0)
+            continue
 
         def flux(s):
             f, fm1 = roll(fi, s), roll(fi, s - 1)
@@ -849,28 +911,41 @@ def _comp_bases(i, B):
 
 
 def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
-                       block=None, S_glob=None, base=None):
-    """Full non-periodic conv_diff: one all-sweeps kernel per component.
+                       block=None, S_glob=None, base=None, perdir=()):
+    """Full conv_diff: one all-sweeps kernel per component.
 
     ``S_glob``/``base`` support shard_map-local calls: ``u`` is then a
     halo-extended local block whose cell 0 sits at global index ``base``
     (per axis, i32 — may be traced); boundary flux variants and write
     support use global positions, and the caller trims the halo planes of
-    the output.  Defaults: whole grid (S_glob=S, base=0)."""
+    the output.  Defaults: whole grid (S_glob=S, base=0).
+
+    ``perdir`` selects the periodic flux variants (ϕuP wrap + top-face flux
+    copy, reference src/Flow.jl:7,60) — whole-grid calls only (the wrap
+    plane and face-1 flux are global positions; `can_shardmap` keeps
+    periodic directions off the shard_map path)."""
     dtype = u.dtype
     B = BLOCK_CDF if block is None else block
     G = pl.cdiv(S[0], B)
     if S_glob is None:
         S_glob = S
+    assert not (perdir and base is not None), (
+        "periodic conv kernel is whole-grid only")
     if base is None:
         base = jnp.zeros((1, 3), jnp.int32)
     else:
         base = jnp.asarray(base, jnp.int32).reshape(1, 3)
+    perdir = tuple(perdir)
 
     def crow(c, off):
         def f(g, c=c, off=off):
             return (c, jnp.clip(g * B + off, 0, S[0] - 1), 0, 0)
         return pl.BlockSpec((1, 1, S[1], S[2]), f)
+
+    def frow(c, row_):
+        # fixed global row (the axis-0 periodic wrap/face-1 sources)
+        return pl.BlockSpec((1, 1, S[1], S[2]),
+                            lambda g, c=c, row_=row_: (c, row_, 0, 0))
 
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
         else pl.BlockSpec()
@@ -883,9 +958,14 @@ def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
             for m in range(nrows):
                 specs.append(crow(c, boff + m))
                 args.append(u)
+        if 0 in perdir:
+            for c, row_ in [(i, S[0] - 3), (i, 0), (i, 1), (i, 2),
+                            (0, 0), (0, 1)]:
+                specs.append(frow(c, row_))
+                args.append(u)
         comps.append(pl.pallas_call(
             partial(_conv_comp_kernel, S, S_glob, B, nu, limiter, dtype, i,
-                    bases),
+                    bases, perdir),
             grid=(G,),
             in_specs=specs,
             out_specs=slab,
