@@ -78,7 +78,27 @@ def _timed_horizon(make, t_end, chunk=50, warm_launches=600):
     t0 = time.perf_counter()
     sim.run_until(t_end, chunk=chunk, remeasure=False)
     jax.block_until_ready(sim.flow.u)
-    return time.perf_counter() - t0, len(sim.pois_n) - len(pois0)
+    return time.perf_counter() - t0, len(sim.pois_n) - len(pois0), sim
+
+
+def _mean_cd(sim, span=5.0, area=None):
+    """Mean drag coefficient over the next ``span`` tU/L of ``sim``.
+
+    ``Cd = -2 Fx / (rho U^2 A)`` with rho=1; ``A`` defaults to the circle
+    pi r^2 of a sphere of length scale L=2r.  Sampled every 0.25 tU/L with
+    the total (pressure+viscous) force (reference Metrics.jl:94-127)."""
+    import math as _m
+    from waterlily_tpu.metrics import total_force
+    if area is None:
+        area = _m.pi * (sim.L / 2) ** 2
+    nu = sim.cfg.nu
+    tf = jax.jit(lambda u, p: total_force(u, p, nu, sim.body, 0.0))
+    rec = sim.run_record(sim.sim_time + span, every=0.25,
+                         fields={"f": lambda s: tf(s.flow.u, s.flow.p)},
+                         remeasure=False)
+    import numpy as np
+    fx = np.array(rec["f"])[:, 0]
+    return float(-2.0 * fx.mean() / (sim.U ** 2 * area))
 
 
 def headline(quick):
@@ -86,14 +106,14 @@ def headline(quick):
 
     n, m = 96, 64
     t_end = 5.0 if quick else 50.0
-    wall, steps = _timed_horizon(
+    wall, steps, sim = _timed_horizon(
         lambda: sphere_3d(n=n, m=m, dtype=jnp.float32), t_end,
         warm_launches=100 if quick else 600)
     cells = n * m * m  # interior cells, matching utils.perf.mlups
     mlups = steps * cells / wall / 1e6
     # pro-rate the reference baseline to the --quick horizon
     scale = t_end / 50.0
-    return {
+    out = {
         "metric": f"3D sphere (96,64,64) f32 to tU/L={t_end:g}: MLUPS"
                   + (" [quick]" if quick else ""),
         "value": round(mlups, 2),
@@ -107,6 +127,17 @@ def headline(quick):
         "sec_per_step": round(wall / max(steps, 1), 5),
         "device": str(jax.devices()[0]),
     }
+    if not quick:
+        # 3D force validation (round-3 verdict item 3): mean drag over the
+        # 5 tU/L after the benchmark horizon (the wake is developed at
+        # tU/L=50).  Re=100 laminar sphere: literature Cd ≈ 1.09
+        # (Johnson & Patel 1999); radius-8 BDIM resolution runs high.
+        try:
+            out["mean_cd_tU50_55"] = round(_mean_cd(sim), 4)
+            out["cd_literature_re100"] = 1.09
+        except Exception as e:
+            out["mean_cd_tU50_55"] = repr(e)
+    return out
 
 
 def sphere_big(n=256):
@@ -123,6 +154,26 @@ def sphere_big(n=256):
         "ns_per_dof": round(ns_dof, 3),
         "baseline": "reference published GPU cost 1.44 ns/DOF (README.md:111)",
         "vs_baseline": round(REFERENCE_NS_PER_DOF / ns_dof, 3),
+    }
+
+
+def sharded_1dev(n, dense_spp):
+    """Compiled Mosaic-under-shard_map on real silicon (round-3 verdict
+    item 1a): the 256³ sphere on a 1-device mesh runs the ONE-region
+    whole-step shard_map program (`parallel.shard_step`) — per-shard
+    blocked kernels, ppermute halos, psum dots — on the one available
+    chip.  Ratio vs the unsharded step measured in this same run."""
+    from waterlily_tpu.models.cases import sphere_3d
+    from waterlily_tpu.parallel.mesh import mesh_for
+    mesh = mesh_for((n + 2,) * 3, 1)
+    sim = sphere_3d(n=n, m=n, Re=3700, dtype=jnp.float32, mesh=mesh)
+    spp = _steady_step_time(sim)
+    return {
+        "metric": f"3D sphere {n}^3 f32 1-device-mesh shard_map: ms/step",
+        "value": round(spp * 1e3, 2),
+        "unit": "ms/step",
+        "baseline": "self: the unsharded step in this same bench run",
+        "sharded_over_dense": round(spp / dense_spp, 3),
     }
 
 
@@ -149,7 +200,7 @@ def circle_2d_wall():
     """Reference's own 2D benchmark: circle (96,64) to tU/L=50 vs ~28 s on
     an 8-thread CPU (README.md:133-137, BASELINE.md)."""
     from waterlily_tpu.models.cases import circle_2d
-    wall, steps = _timed_horizon(
+    wall, steps, _sim = _timed_horizon(
         lambda: circle_2d(n=96, m=64, Re=100, dtype=jnp.float32), 50.0,
         chunk=100)
     return {
@@ -228,9 +279,18 @@ def main():
         from waterlily_tpu.models.cases import (tgv_2d, donut_3d,
                                                 oscillating_plate_2d)
         secondary = []
+        dense256 = {}
+
+        def sphere256():
+            spp, row = sphere_big(256)
+            dense256["spp"] = spp
+            return row
+
         # the full BASELINE.md benchmark set, recorded every round
         runs = [
-            ("3D sphere 256^3", lambda: sphere_big(256)[1]),
+            ("3D sphere 256^3", sphere256),
+            ("256^3 1-dev shard_map", lambda: sharded_1dev(
+                256, dense256.get("spp", float("nan")))),
             # largest verified config (round 3; per-DOF cost IMPROVES with
             # size as fixed costs amortize: 1.26 vs 1.42 ns/DOF same session)
             ("3D sphere 320^3", lambda: sphere_big(320)[1]),

@@ -7,6 +7,7 @@ Usage: python scripts/profile_shard1.py [n]
 """
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -63,41 +64,46 @@ def main():
     z_rhs = jax.jit(div)(state.u)
     r0 = jax.jit(residual)(fine_d, state.p, z_rhs)
 
-    def mk_pcg(lev, fn):
-        def loop(c):
+    # NOTE: levels are passed as (non-donated) jit ARGS, never closures —
+    # closing over big concrete arrays uploads them with the program
+    # (HTTP 413 at 256^3; CLAUDE.md).
+    def mk_pcg(fn):
+        def loop(lev, c):
             x, r = c
             x, r = fn(lev, x, r, 6)
             return (x, 0.5 * r + 1e-7)
-        return jax.jit(loop, donate_argnums=0)
+        return jax.jit(loop, donate_argnums=1)
 
-    timeit("dense pcg(6)", mk_pcg(fine_d, pcg), (state.p, r0), iters=10)
+    timeit("dense pcg(6)", partial(mk_pcg(pcg), fine_d),
+           (state.p, r0), iters=10)
     timeit("shardmap pcg(6) compiled",
-           mk_pcg(fine_s, lambda l, x, r, it: shardmap_pcg(l, x, r, it)),
+           partial(mk_pcg(lambda l, x, r, it: shardmap_pcg(l, x, r, it)),
+                   fine_s),
            (state.p, r0), iters=10)
 
-    def mk_inc(lev, fn):
-        def loop(c):
+    def mk_inc(fn):
+        def loop(lev, c):
             x, r, e = c
             x, r = fn(lev, x, r, e)
             return (x, 0.5 * r + 1e-7, 0.999 * e)
-        return jax.jit(loop, donate_argnums=0)
+        return jax.jit(loop, donate_argnums=1)
 
-    eps0 = jax.jit(lambda r: r * fine_d.iD)(r0)
-    timeit("dense increment", mk_inc(fine_d, increment),
+    eps0 = jax.jit(lambda r, iD: r * iD)(r0, fine_d.iD)
+    timeit("dense increment", partial(mk_inc(increment), fine_d),
            (state.p, r0, eps0), iters=10)
-    timeit("shardmap increment", mk_inc(fine_s, shardmap_increment),
+    timeit("shardmap increment", partial(mk_inc(shardmap_increment), fine_s),
            (state.p, r0, eps0), iters=10)
 
-    def mk_res(lev, fn):
-        def loop(c):
+    def mk_res(fn):
+        def loop(lev, c):
             x, z = c
             r = fn(lev, x, z)
             return (x + 1e-6 * r, z)
-        return jax.jit(loop, donate_argnums=0)
+        return jax.jit(loop, donate_argnums=1)
 
-    timeit("dense residual", mk_res(fine_d, residual),
+    timeit("dense residual", partial(mk_res(residual), fine_d),
            (state.p, z_rhs), iters=10)
-    timeit("shardmap residual", mk_res(fine_s, shardmap_residual),
+    timeit("shardmap residual", partial(mk_res(shardmap_residual), fine_s),
            (state.p, z_rhs), iters=10)
 
     def cd_dense(u):

@@ -344,10 +344,13 @@ def test_shardmap_increment_residual_pallas_interpret():
     assert np.allclose(np.asarray(r1), np.asarray(r1s), atol=1e-5)
 
 
-def test_sharded_smoother_dispatch_via_step():
+def test_sharded_smoother_dispatch_via_step(monkeypatch):
     """A sharded step on an evenly-dividing mesh routes its smoother through
     the shard_map fast path and still matches the single-device step."""
+    from waterlily_tpu.parallel import mesh as pmesh
     from waterlily_tpu.parallel.mesh import mesh_for, constrain_levels
+    # force shard_map routing below the production region-budget threshold
+    monkeypatch.setattr(pmesh, "SHARDMAP_MIN_CELLS", 0)
     cfg = FlowConfig(D=3, S=(18, 18, 18), U=(1.0, 0.0, 0.0), nu=0.01,
                      dtype=f32)
     state = flow_init(cfg)
@@ -466,3 +469,229 @@ def test_conv_diff_threads_pallas_ok_into_shardmap(monkeypatch):
     assert seen["pallas"] == "off"
     conv_diff(u, 0.01, (), quick, sharded=True, mesh=mesh, pallas_ok=True)
     assert seen["pallas"] is None  # kernel-size/backend auto-dispatch
+
+
+def test_shard_solve_restrict_prolongate_exact():
+    """The one-region solve's transfers vs the dense forms: restriction is
+    BITWISE the dense reshape-sum (each coarse cell is one shard's dense-
+    order pair sum + psum'd zeros); prolongation is an exact copy."""
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.parallel.halo import spatial_specs
+    from waterlily_tpu.parallel.shard_solve import (restrict_replicated,
+                                                    prolongate_local)
+    from waterlily_tpu.parallel.shard_smooth import get_shard_map
+    from waterlily_tpu.ops.multigrid import restrict, prolongate
+    from waterlily_tpu.grid import mask_interior
+    from jax.sharding import PartitionSpec as P
+
+    for S in [(18, 18, 18), (34, 18, 18), (18, 10)]:
+        D = len(S)
+        mesh = mesh_for(S, 8)
+        sc, _vec = spatial_specs(mesh, D)
+        r = mask_interior(jax.random.normal(jax.random.PRNGKey(3), S, f32))
+        rc_ref = restrict(r)
+
+        fn = get_shard_map()(lambda r_l: restrict_replicated(mesh, S, r_l),
+                             mesh=mesh, in_specs=(sc,), out_specs=P(),
+                             check_vma=False)
+        rc = jax.jit(fn)(r)
+        assert np.array_equal(np.asarray(rc_ref), np.asarray(rc)), S
+
+        Sc = rc_ref.shape
+        xc = mask_interior(jax.random.normal(jax.random.PRNGKey(4), Sc, f32))
+        eps_ref = prolongate(xc, S)
+        pf = get_shard_map()(lambda xc_r: prolongate_local(mesh, S, xc_r),
+                             mesh=mesh, in_specs=(P(),), out_specs=sc,
+                             check_vma=False)
+        eps = jax.jit(pf)(xc)
+        assert np.array_equal(np.asarray(eps_ref), np.asarray(eps)), S
+
+
+def test_shard_solve_matches_dense():
+    """shardmap_ml_solve (ONE region: local fine kernels + replicated
+    coarse) vs the dense ml_solve: same iteration count, matching fields
+    (dots differ only by psum association)."""
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.parallel.shard_solve import shardmap_ml_solve
+    from waterlily_tpu.ops.multigrid import ml_solve
+    from waterlily_tpu.flow import div
+    from waterlily_tpu.grid import mask_interior
+
+    cfg = FlowConfig(D=3, S=(18, 18, 18), U=(1.0, 0.0, 0.0), nu=0.01,
+                     dtype=f32)
+    state = flow_init(cfg)
+    levels = build_levels(state.mu0)
+    z = jax.jit(div)(state.u)
+    x0 = 0.25 * mask_interior(
+        jax.random.normal(jax.random.PRNGKey(5), cfg.S, f32))
+    x_ref, r_ref, n_ref = jax.jit(
+        lambda l, x, z: ml_solve(l, x, z))(levels, x0, z)
+
+    mesh = mesh_for(cfg.S, 8)
+    levs = tuple(l.replace(mesh=mesh, sharded=True) for l in levels)
+    x_s, r_s, n_s = jax.jit(
+        lambda l, x, z: shardmap_ml_solve(l, x, z))(levs, x0, z)
+    assert int(n_s) == int(n_ref)
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_s), atol=1e-5)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)
+
+    # fixed-iteration unroll path
+    x_f, r_f, n_f = jax.jit(
+        lambda l, x, z: shardmap_ml_solve(l, x, z, fixed=2))(levs, x0, z)
+    x_fr, r_fr, n_fr = jax.jit(
+        lambda l, x, z: ml_solve(l, x, z, fixed=2))(levels, x0, z)
+    assert int(n_f) == 2 and int(n_fr) == 2
+    assert np.allclose(np.asarray(x_fr), np.asarray(x_f), atol=1e-5)
+
+
+def test_shard_solve_dispatch_from_step():
+    """A sharded step whose fine level carries the mesh routes its pressure
+    solves through the one-region shardmap_ml_solve and matches the dense
+    step (pois_n equal)."""
+    from waterlily_tpu.parallel import mesh as pmesh
+    from waterlily_tpu.parallel.mesh import mesh_for
+    cfg = FlowConfig(D=3, S=(18, 18, 18), U=(1.0, 0.0, 0.0), nu=0.01,
+                     dtype=f32)
+    state = flow_init(cfg)
+    levels = build_levels(state.mu0)
+    ref, aux_ref = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
+    old = pmesh.SHARDMAP_MIN_CELLS
+    try:
+        pmesh.SHARDMAP_MIN_CELLS = 0
+        mesh = mesh_for(cfg.S, 8)
+        step = sharded_step_fn(cfg, mesh)
+        out, aux = step(state, levels)
+    finally:
+        pmesh.SHARDMAP_MIN_CELLS = old
+    assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
+    assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
+    assert list(map(int, aux["pois_n"])) == list(map(int, aux_ref["pois_n"]))
+
+
+def test_bc_vector_local_bitwise():
+    """bc_vector_local (global-index where-selects inside shard_map) is
+    bitwise-equal to the reference-ordered DUS chain, save_exit included."""
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.parallel.halo import spatial_specs
+    from waterlily_tpu.parallel.shard_step import bc_vector_local
+    from waterlily_tpu.parallel.shard_smooth import get_shard_map
+    from waterlily_tpu.ops.bc import bc_vector
+    for S, save_exit in [((18, 10, 10), False), ((18, 10, 10), True),
+                         ((16, 32), False)]:
+        D = len(S)
+        u = jax.random.normal(jax.random.PRNGKey(9), (D,) + S, f32)
+        A = tuple(0.25 * i + 1.0 for i in range(D))
+        ref = bc_vector(u, A, save_exit=save_exit)
+        mesh = mesh_for(S, 8)
+        sc, vec = spatial_specs(mesh, D)
+        fn = get_shard_map()(
+            lambda u_l: bc_vector_local(mesh, S, u_l, A, save_exit),
+            mesh=mesh, in_specs=(vec,), out_specs=vec, check_vma=False)
+        out = jax.jit(fn)(u)
+        assert np.array_equal(np.asarray(ref), np.asarray(out)), (S, save_exit)
+
+
+def test_shard_step_region_matches_dense():
+    """The ONE-region whole step (shardmap_mom_step) matches the dense
+    mom_step — velocity, pressure, dt, pois_n — including exitBC."""
+    from waterlily_tpu.parallel.mesh import mesh_for, constrain_levels
+    from waterlily_tpu.parallel import mesh as pmesh
+    from waterlily_tpu.parallel.shard_step import (shardmap_mom_step,
+                                                   can_shard_step)
+
+    for kw in (dict(), dict(exitBC=True)):
+        cfg = FlowConfig(D=3, S=(18, 18, 18), U=(1.0, 0.0, 0.0), nu=0.01,
+                         dtype=f32, **kw)
+
+        def ulam(i, x):
+            return jnp.where(i == 0, 1.0 + 0.05 * jnp.sin(x[1] / 3), 0.0)
+
+        state = flow_init(cfg, ulam)
+        levels = build_levels(state.mu0)
+        ref, aux_ref = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
+
+        mesh = mesh_for(cfg.S, 8)
+        old = pmesh.SHARDMAP_MIN_CELLS
+        try:
+            pmesh.SHARDMAP_MIN_CELLS = 0
+            levs = tuple(l.replace(mesh=mesh, sharded=True) for l in levels)
+            assert can_shard_step(cfg._replace(sharded=True), levs)
+            out, aux = jax.jit(
+                lambda s, l: shardmap_mom_step(cfg._replace(sharded=True),
+                                               l, s))(state, levs)
+        finally:
+            pmesh.SHARDMAP_MIN_CELLS = old
+        assert np.allclose(np.asarray(ref.u), np.asarray(out.u),
+                           atol=1e-5), kw
+        assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
+        assert np.isclose(float(ref.dt), float(out.dt), rtol=1e-6)
+        assert list(map(int, aux["pois_n"])) == \
+            list(map(int, aux_ref["pois_n"])), kw
+
+
+@pytest.mark.skipif(__import__("os").environ.get("WATERLILY_NIGHTLY") != "1",
+                    reason="512^3 AOT compile: nightly tier (several minutes)")
+def test_512cubed_sharded_step_compiles_aot():
+    """Scale pin (round-3 verdict item 6): the 512³ sharded step COMPILES
+    (AOT, no execution) on the 8-device virtual mesh with per-shard
+    live-buffer bytes inside a v5e's 16 GB HBM, and its HLO contains no
+    full-field all-gather.  The cheapest available proof that the
+    multi-chip design reaches the scale it exists for (real multi-chip
+    hardware is unavailable; 320³ is the verified single-chip ceiling)."""
+    from waterlily_tpu.parallel.mesh import (mesh_for, state_specs,
+                                             constrain_levels)
+    from waterlily_tpu.parallel.mesh import mom_step_auto
+    import re
+
+    N = 512
+    cfg = FlowConfig(D=3, S=(N + 2,) * 3, U=(1.0, 0.0, 0.0), nu=1e-4,
+                     dtype=jnp.float32, sharded=True)
+    mesh = mesh_for(cfg.S, 8)
+    cfg = cfg._replace(mesh=mesh)
+
+    def step(state, levels):
+        from waterlily_tpu.parallel.mesh import constrain_state
+        state = constrain_state(state, mesh)
+        levels = constrain_levels(levels, mesh)
+        new, aux = mom_step_auto(cfg, levels, state)
+        return constrain_state(new, mesh), aux["pois_n"]
+
+    # abstract inputs: never materialize 512³ arrays on the CI box
+    from waterlily_tpu.flow import FlowState
+    S = cfg.S
+    f = jax.ShapeDtypeStruct
+    state = FlowState(
+        u=f((3,) + S, jnp.float32), p=f(S, jnp.float32),
+        V=f((3,) + S, jnp.float32), mu0=f((3,) + S, jnp.float32),
+        mu1=f((3, 3) + S, jnp.float32), dt=f((), jnp.float32),
+        t=f((), jnp.float32), bbox=f((3,), jnp.int32))
+    from waterlily_tpu.ops.multigrid import n_levels, coarse_shape
+    from waterlily_tpu.ops.poisson import PoissonLevel
+    levels = []
+    Sl = S
+    for _ in range(n_levels(S)):
+        levels.append(PoissonLevel(
+            L=f((3,) + Sl, jnp.float32), D=f(Sl, jnp.float32),
+            iD=f(Sl, jnp.float32)))
+        Sl = coarse_shape(Sl)
+    lowered = jax.jit(step).lower(state, tuple(levels))
+    compiled = lowered.compile()
+
+    # per-shard live bytes within a v5e HBM (16 GiB); the state alone is
+    # 19 fields x 512^3 x 4B / 8 shards ~ 1.3 GB
+    mem = compiled.memory_analysis()
+    per_shard = int(getattr(mem, "temp_size_in_bytes", 0)) + \
+        int(getattr(mem, "argument_size_in_bytes", 0)) + \
+        int(getattr(mem, "output_size_in_bytes", 0))
+    assert per_shard < 16 * 2 ** 30, f"{per_shard/2**30:.2f} GiB per shard"
+
+    # no full-field all-gathers: any all-gather's output must stay well
+    # below a full fine-level field (514^3 x 4B = 543 MB); the replicated
+    # coarse residual gather (130^3-class, ~9 MB) is the design's one
+    # intentional gather
+    hlo = compiled.as_text()
+    cap = 80 * 2 ** 20
+    for m in re.finditer(r"all-gather[^=]*=\s*\S*?f32\[([0-9,]+)\]", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        byts = 4 * int(np.prod(dims))
+        assert byts < cap, f"all-gather of {byts/2**20:.0f} MB in 512^3 HLO"

@@ -234,6 +234,14 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
     ≤2-3 iterations suffice, so small ``fixed`` matches the adaptive count.
     """
     fine = levels[0]
+    if fine.mesh is not None:
+        from ..parallel.shard_solve import can_shard_solve, shardmap_ml_solve
+        if can_shard_solve(levels, trace):
+            # the whole solve as ONE shard_map region (fine level local +
+            # kernel-tier, coarse levels replicated) — the multi-chip fast
+            # path; per-phase regions cost ~3 ms each on this runtime
+            return shardmap_ml_solve(levels, x, z, tol=tol, itmx=itmx,
+                                     fixed=fixed)
     r = residual(fine, x, z)
 
     def log_row(r):

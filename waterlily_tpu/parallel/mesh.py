@@ -115,6 +115,17 @@ def constrain_state(state: FlowState, mesh: Mesh) -> FlowState:
     return jax.lax.with_sharding_constraint(state, state_specs(mesh, D))
 
 
+# Minimum level size (padded cells) for routing a level's smoother/stencils
+# through shard_map regions.  Each region carries a real fixed overhead on
+# top of its compute (region entry/exit, per-call collectives; measured
+# ~3 ms/region for ≤66³ levels on the v5e tunnel — docs/PERF.md round 4),
+# so tiny multigrid levels pay far more in region count than their whole
+# compute is worth: a 256³ solve has ~18 coarse-level regions per outer
+# iteration.  Below the threshold levels keep the GSPMD XLA forms, whose
+# per-op cost at such sizes is negligible inside the one program.
+SHARDMAP_MIN_CELLS = 2 ** 21
+
+
 def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple:
     """Pin multigrid levels: sharded while every sharded spatial dim keeps at
     least ``min_per_shard`` interior cells per device, replicated below.
@@ -122,7 +133,10 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
     Every returned level is marked ``sharded`` (and un-``blocked``): Pallas
     Mosaic calls cannot be partitioned by GSPMD, so all Pallas dispatch must
     stay off in a spatially-decomposed program — even for levels the caller
-    built without the flag."""
+    built without the flag.  Levels of at least ``SHARDMAP_MIN_CELLS`` also
+    carry ``mesh``, routing their smoother/stencils through the explicit
+    shard_map kernel tier (`parallel.shard_smooth`)."""
+    import math
     out = []
     names = [n for n in mesh.axis_names if n != "r"]
     for lev in levels:
@@ -136,9 +150,11 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
             sh_sc = NamedSharding(mesh, _spatial_spec(mesh, len(S), 0))
             sh_vec = NamedSharding(mesh, _spatial_spec(mesh, len(S), 1))
             # `mesh` routes the smoother through the shard_map fast path
-            # (ops.poisson.smooth) when it divides this level evenly
+            # (ops.poisson.smooth) when it divides this level evenly AND
+            # the level is big enough for a region to pay for itself
+            big = math.prod(S) >= SHARDMAP_MIN_CELLS
             out.append(lev.replace(
-                mesh=mesh,
+                mesh=mesh if big else None,
                 L=jax.lax.with_sharding_constraint(lev.L, sh_vec),
                 D=jax.lax.with_sharding_constraint(lev.D, sh_sc),
                 iD=jax.lax.with_sharding_constraint(lev.iD, sh_sc)))
@@ -148,6 +164,19 @@ def constrain_levels(levels: tuple, mesh: Mesh, min_per_shard: int = 2) -> tuple
     return tuple(out)
 
 
+def mom_step_auto(cfg, levels, state):
+    """`mom_step`, routed through the ONE-region shard_map step when the
+    (constrained) fine level carries a mesh and the config allows it
+    (`parallel.shard_step` — the multi-chip fast path), the per-phase
+    GSPMD step otherwise."""
+    fine = levels[0]
+    if getattr(fine, "mesh", None) is not None:
+        from .shard_step import can_shard_step, shardmap_mom_step
+        if can_shard_step(cfg, levels):
+            return shardmap_mom_step(cfg, levels, state)
+    return mom_step(cfg, levels, state)
+
+
 def sharded_step_fn(cfg, mesh: Mesh):
     """Jitted momentum step with spatial-decomposition constraints."""
     cfg = cfg._replace(sharded=True)
@@ -155,7 +184,7 @@ def sharded_step_fn(cfg, mesh: Mesh):
     def step(state, levels):
         state = constrain_state(state, mesh)
         levels = constrain_levels(levels, mesh)
-        new, aux = mom_step(cfg, levels, state)
+        new, aux = mom_step_auto(cfg, levels, state)
         return constrain_state(new, mesh), aux
 
     return jax.jit(step)
@@ -170,7 +199,7 @@ def sharded_scan_fn(cfg, mesh: Mesh):
         levels = constrain_levels(levels, mesh)
 
         def body(s, _):
-            s, aux = mom_step(cfg, levels, s)
+            s, aux = mom_step_auto(cfg, levels, s)
             return constrain_state(s, mesh), aux["pois_n"]
 
         state, pois = jax.lax.scan(body, state, None, length=n)

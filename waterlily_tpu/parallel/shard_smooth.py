@@ -35,8 +35,9 @@ from jax.sharding import Mesh
 from .halo import (halo_exchange, _axis_shards, spatial_specs, shift_up,
                    ghost_mask_local, get_shard_map)
 
-__all__ = ["shardmap_pcg", "can_shardmap", "local_mult",
-           "shardmap_increment", "shardmap_residual"]
+__all__ = ["shardmap_pcg", "can_shardmap", "local_mult", "prep_local_op",
+           "shardmap_increment", "shardmap_residual", "pcg_local",
+           "increment_local", "residual_local", "conv_diff_local"]
 
 
 def _spatial_names(mesh: Mesh):
@@ -57,33 +58,44 @@ def can_shardmap(mesh: Mesh | None, S: tuple, perdir: tuple) -> bool:
                for k in range(min(len(names), len(S))))
 
 
-def local_mult(mesh: Mesh, S, L_l, Lup, Dd_l, x_l, mask, pallas: str = "off"):
+def prep_local_op(mesh: Mesh, L_l, Dd_l, D: int, pallas: str):
+    """Kernel-ready local operator streams, built ONCE per shard_map region.
+
+    L/D are constant across smoother iterations, so every matvec of a
+    region shares this prep (the round-3 form rebuilt a stack+pad+DUS
+    chain per call — ~5 full L-sized passes per matvec at 256³).
+
+    Pallas path: the halo-extended ``L`` (one ppermute round — the upper
+    halo plane of each component is the neighbour's first plane, exactly
+    the ``L[I+δ]`` coefficient the blocked kernel reads at the block's top
+    interior row; the lower halo plane is never read by the kernel) plus
+    the zero-ghost-padded diagonal (the local diagonal already carries the
+    global ghost zeros).  XLA path: the pre-shifted upper-face
+    coefficients (`halo.shift_up`).
+    """
+    if pallas != "off":
+        Lh = halo_exchange(L_l, mesh, D)
+        Dh = jnp.pad(Dd_l, [(1, 1)] * D)
+        return (Lh, Dh)
+    ax = _axis_shards(mesh, D)
+    return [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
+
+
+def local_mult(mesh: Mesh, S, L_l, Dd_l, op, x_l, mask, pallas: str = "off"):
     """A·x on a shard's local block after one halo-exchange round.
 
-    ``Lup[i]`` is the pre-shifted upper-face coefficient (`halo.shift_up`,
-    computed once per solve — L is constant across smoother iterations).
-    ``pallas``: 'off' = XLA slice form (CPU/virtual-mesh), 'compiled' /
-    'interpret' = the blocked streaming kernel on the halo'd local block
-    (Mosaic on real TPU chips; interpret mode exercises the same
-    composition on the virtual CPU mesh in tests).
+    ``op`` is `prep_local_op`'s output for this level (shared by every
+    matvec in the region).  ``pallas``: 'off' = XLA slice form
+    (CPU/virtual-mesh), 'compiled' / 'interpret' = the blocked streaming
+    kernel on the halo'd local block (Mosaic on real TPU chips; interpret
+    mode exercises the same composition on the virtual CPU mesh in tests).
     """
     D = x_l.ndim
     xh = halo_exchange(x_l, mesh, D)
     if pallas != "off":
         from ..ops.pallas_stencil import mult3d_pallas
-        # the halo'd block is exactly a ghost-padded grid for the kernel:
-        # pad L/D with zero ghosts, run the standard kernel, trim
-        Lh = jnp.pad(jnp.stack([L_l[i] for i in range(D)]),
-                     [(0, 0)] + [(1, 1)] * D)
-        # kernel reads L[I+δ] itself, but the plane beyond the local block
-        # must hold the neighbour's coefficient: write Lup's top plane into
-        # the upper ghost of each component
-        for i in range(D):
-            top = jax.lax.slice_in_dim(Lup[i], x_l.shape[i] - 1, None, axis=i)
-            idx = [slice(1, -1)] * D
-            idx[i] = slice(xh.shape[i] - 1, xh.shape[i])
-            Lh = Lh.at[(i, *idx)].set(top)
-        Dh = jnp.pad(Dd_l * mask.astype(Dd_l.dtype), [(1, 1)] * D)
+        # the halo'd block is exactly a ghost-padded grid for the kernel
+        Lh, Dh = op
         zh = mult3d_pallas(Lh, Dh, xh, xh.shape,
                            interpret=(pallas == "interpret"))
         z = zh[(slice(1, -1),) * D]
@@ -97,8 +109,59 @@ def local_mult(mesh: Mesh, S, L_l, Lup, Dd_l, x_l, mask, pallas: str = "off"):
                   + loc_shape[k]) for k in range(D))]
 
     for i in range(D):
-        z = z + sl(xh, i, -1) * L_l[i] + sl(xh, i, +1) * Lup[i]
+        z = z + sl(xh, i, -1) * L_l[i] + sl(xh, i, +1) * op[i]
     return jnp.where(mask, z, 0.0)
+
+
+def pcg_local(mesh: Mesh, S, L_l, Dd_l, iD_l, x_l, r_l, it: int,
+              pallas: str, bf16: bool = False, op=None):
+    """PCG smoother body on a shard's local block (must run inside a
+    shard_map region).  Same algebra as `ops.poisson.pcg` with the
+    dead-mask early exits; dots are per-shard partials + psum."""
+    D = x_l.ndim
+    dt = x_l.dtype
+    teneps = 10 * jnp.finfo(dt).eps
+    names = _spatial_names(mesh)
+    mask = ghost_mask_local(mesh, S, x_l.shape)
+    if op is None:
+        op = prep_local_op(mesh, L_l, Dd_l, D, pallas)
+
+    def matvec(eps_l):
+        return local_mult(mesh, S, L_l, Dd_l, op,
+                          eps_l.astype(dt), mask, pallas)
+
+    def gdot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), names)
+
+    def mask_int(a):
+        return jnp.where(mask, a, 0).astype(a.dtype)
+
+    z = r_l * iD_l
+    eps = z.astype(jnp.bfloat16) if bf16 else z
+    rho = gdot(r_l, z)
+    dead = jnp.abs(rho) < teneps
+    for i in range(it):
+        z = matvec(eps)
+        denom = gdot(z, eps.astype(dt))
+        alpha = jnp.where(dead | (denom == 0), 0.0,
+                          rho / jnp.where(denom == 0, 1.0, denom)).astype(dt)
+        dead = dead | (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)
+        upd = jnp.where(dead, 0.0, alpha).astype(dt)
+        x_new = x_l + upd * eps
+        r_new = r_l - upd * z
+        x_l, r_l = x_new, r_new
+        if i == it - 1:
+            break
+        z2 = r_l * iD_l
+        rho2 = gdot(r_l, z2)
+        dead = dead | (jnp.abs(rho2) < teneps)
+        beta = jnp.where(dead, 0.0,
+                         rho2 / jnp.where(rho == 0, 1.0, rho)).astype(dt)
+        eps = mask_int(beta * eps.astype(dt) + z2)
+        if bf16:
+            eps = eps.astype(jnp.bfloat16)
+        rho = jnp.where(dead, rho, rho2)
+    return x_l, r_l
 
 
 def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
@@ -111,60 +174,13 @@ def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
     mesh = lev.mesh
     D = x.ndim
     S = x.shape
-    dt = x.dtype
-    teneps = 10 * jnp.finfo(dt).eps
-    names = _spatial_names(mesh)
     sc, vec = spatial_specs(mesh, D)
-    ax = _axis_shards(mesh, D)
     if pallas is None:
-        from ..ops.pallas_stencil import use_blocked
-        loc = _local_shape(mesh, S)
-        pallas = ("compiled"
-                  if jax.default_backend() == "tpu"
-                  and use_blocked(tuple(s + 2 for s in loc), dt,
-                                  sharded=False)
-                  else "off")
+        pallas = _auto_pallas(mesh, S, x.dtype)
 
     def local(L_l, Dd_l, iD_l, x_l, r_l):
-        mask = ghost_mask_local(mesh, S, x_l.shape)
-        Lup = [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
-
-        def matvec(eps_l):
-            return local_mult(mesh, S, L_l, Lup, Dd_l,
-                              eps_l.astype(dt), mask, pallas)
-
-        def gdot(a, b):
-            return jax.lax.psum(jnp.sum(a * b), names)
-
-        def mask_int(a):
-            return jnp.where(mask, a, 0).astype(a.dtype)
-
-        z = r_l * iD_l
-        eps = z.astype(jnp.bfloat16) if lev.bf16_eps else z
-        rho = gdot(r_l, z)
-        dead = jnp.abs(rho) < teneps
-        for i in range(it):
-            z = matvec(eps)
-            denom = gdot(z, eps.astype(dt))
-            alpha = jnp.where(dead | (denom == 0), 0.0,
-                              rho / jnp.where(denom == 0, 1.0, denom)).astype(dt)
-            dead = dead | (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)
-            upd = jnp.where(dead, 0.0, alpha).astype(dt)
-            x_new = x_l + upd * eps
-            r_new = r_l - upd * z
-            x_l, r_l = x_new, r_new
-            if i == it - 1:
-                break
-            z2 = r_l * iD_l
-            rho2 = gdot(r_l, z2)
-            dead = dead | (jnp.abs(rho2) < teneps)
-            beta = jnp.where(dead, 0.0,
-                             rho2 / jnp.where(rho == 0, 1.0, rho)).astype(dt)
-            eps = mask_int(beta * eps.astype(dt) + z2)
-            if lev.bf16_eps:
-                eps = eps.astype(jnp.bfloat16)
-            rho = jnp.where(dead, rho, rho2)
-        return x_l, r_l
+        return pcg_local(mesh, S, L_l, Dd_l, iD_l, x_l, r_l, it, pallas,
+                         bf16=lev.bf16_eps)
 
     fn = get_shard_map()(local, mesh=mesh,
                          in_specs=(vec, sc, sc, sc, sc),
@@ -203,19 +219,26 @@ def shardmap_increment(lev, x, r, eps, pallas: str | None = None):
     D = x.ndim
     S = x.shape
     sc, vec = spatial_specs(mesh, D)
-    ax = _axis_shards(mesh, D)
     if pallas is None:
         pallas = _auto_pallas(mesh, S, x.dtype)
 
     def local(L_l, Dd_l, x_l, r_l, eps_l):
-        mask = ghost_mask_local(mesh, S, x_l.shape)
-        Lup = [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
-        ae = local_mult(mesh, S, L_l, Lup, Dd_l, eps_l, mask, pallas)
-        return x_l + eps_l, r_l - ae
+        return increment_local(mesh, S, L_l, Dd_l, x_l, r_l, eps_l, pallas)
 
     fn = get_shard_map()(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
                          out_specs=(sc, sc), check_vma=False)
     return fn(lev.L, lev.D, x, r, eps)
+
+
+def increment_local(mesh: Mesh, S, L_l, Dd_l, x_l, r_l, eps_l, pallas: str,
+                    op=None):
+    """``x += eps; r -= A·eps`` on a local block (inside shard_map)."""
+    D = x_l.ndim
+    mask = ghost_mask_local(mesh, S, x_l.shape)
+    if op is None:
+        op = prep_local_op(mesh, L_l, Dd_l, D, pallas)
+    ae = local_mult(mesh, S, L_l, Dd_l, op, eps_l, mask, pallas)
+    return x_l + eps_l, r_l - ae
 
 
 def shardmap_residual(lev, x, z, pallas: str | None = None):
@@ -223,31 +246,38 @@ def shardmap_residual(lev, x, z, pallas: str | None = None):
     ``residual!``, src/Poisson.jl:91-97) with explicit collectives: one
     ppermute halo round, per-shard blocked kernel, and the solvability mean
     as per-shard partial sums + psum."""
-    from ..grid import inside_count
     mesh = lev.mesh
     D = x.ndim
     S = x.shape
-    dt = x.dtype
-    names = _spatial_names(mesh)
     sc, vec = spatial_specs(mesh, D)
-    ax = _axis_shards(mesh, D)
     if pallas is None:
-        pallas = _auto_pallas(mesh, S, dt)
-    cnt = inside_count(S)
-    teps = 2 * jnp.finfo(dt).eps
+        pallas = _auto_pallas(mesh, S, x.dtype)
 
     def local(L_l, Dd_l, iD_l, x_l, z_l):
-        mask = ghost_mask_local(mesh, S, x_l.shape)
-        Lup = [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
-        ax_l = local_mult(mesh, S, L_l, Lup, Dd_l, x_l, mask, pallas)
-        r_int = jnp.where(mask & (iD_l != 0), z_l - ax_l, 0.0).astype(dt)
-        s = jax.lax.psum(jnp.sum(r_int), names) / cnt
-        corr = jnp.where(jnp.abs(s) <= teps, 0.0, s).astype(dt)
-        return jnp.where(mask, r_int - corr, 0.0).astype(dt)
+        return residual_local(mesh, S, L_l, Dd_l, iD_l, x_l, z_l, pallas)
 
     fn = get_shard_map()(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
                          out_specs=sc, check_vma=False)
     return fn(lev.L, lev.D, lev.iD, x, z)
+
+
+def residual_local(mesh: Mesh, S, L_l, Dd_l, iD_l, x_l, z_l, pallas: str,
+                   op=None):
+    """Body-masked, mean-corrected ``r = z - A·x`` on a local block."""
+    from ..grid import inside_count
+    D = x_l.ndim
+    dt = x_l.dtype
+    names = _spatial_names(mesh)
+    cnt = inside_count(S)
+    teps = 2 * jnp.finfo(dt).eps
+    mask = ghost_mask_local(mesh, S, x_l.shape)
+    if op is None:
+        op = prep_local_op(mesh, L_l, Dd_l, D, pallas)
+    ax_l = local_mult(mesh, S, L_l, Dd_l, op, x_l, mask, pallas)
+    r_int = jnp.where(mask & (iD_l != 0), z_l - ax_l, 0.0).astype(dt)
+    s = jax.lax.psum(jnp.sum(r_int), names) / cnt
+    corr = jnp.where(jnp.abs(s) <= teps, 0.0, s).astype(dt)
+    return jnp.where(mask, r_int - corr, 0.0).astype(dt)
 
 
 def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
@@ -280,20 +310,30 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
                   else "off")
 
     def local(u_l):
-        loc = u_l.shape[1:]
-        uh = halo_exchange(u_l, mesh, D, width=2)
-        base = tuple(
-            (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
-            for d, (name, k) in enumerate(ax))
-        if pallas != "off":
-            from ..ops.pallas_stencil import conv_diff3d_pallas
-            r_ext = conv_diff3d_pallas(
-                uh, nu, limiter, uh.shape[1:], S_glob=S,
-                base=jnp.stack([jnp.int32(b) - 2 for b in base]),
-                interpret=(pallas == "interpret"))
-            return r_ext[(slice(None),) + (slice(2, -2),) * D]
-        return conv_core(uh, loc, S, base, nu, (), limiter)
+        return conv_diff_local(mesh, S, u_l, nu, limiter, pallas)
 
     fn = get_shard_map()(local, mesh=mesh, in_specs=(vec,), out_specs=vec,
                    check_vma=False)
     return fn(u)
+
+
+def conv_diff_local(mesh: Mesh, S, u_l, nu, limiter, pallas: str):
+    """conv_diff tendency on a shard's local block (inside shard_map):
+    width-2 ppermute halos + per-shard blocked kernels with global-index
+    boundary masks (``base`` offsets)."""
+    from ..ops.convect import conv_core
+    D = u_l.shape[0]
+    loc = u_l.shape[1:]
+    ax = _axis_shards(mesh, D)
+    uh = halo_exchange(u_l, mesh, D, width=2)
+    base = tuple(
+        (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
+        for d, (name, k) in enumerate(ax))
+    if pallas != "off":
+        from ..ops.pallas_stencil import conv_diff3d_pallas
+        r_ext = conv_diff3d_pallas(
+            uh, nu, limiter, uh.shape[1:], S_glob=S,
+            base=jnp.stack([jnp.int32(b) - 2 for b in base]),
+            interpret=(pallas == "interpret"))
+        return r_ext[(slice(None),) + (slice(2, -2),) * D]
+    return conv_core(uh, loc, S, base, nu, (), limiter)

@@ -260,9 +260,16 @@ class Simulation:
 
         self._measure_all = _measure_all
 
+        if self.mesh is not None:
+            # the one-region shard_map step when the constrained fine level
+            # carries the mesh (parallel.shard_step), per-phase GSPMD else
+            from .parallel.mesh import mom_step_auto as _mstep
+        else:
+            _mstep = mom_step
+
         def step_static(state, levels):
             state, levels = _cs(state), _cl(levels)
-            new, aux = mom_step(cfg, levels, state)
+            new, aux = _mstep(cfg, levels, state)
             return _cs(new), aux
 
         def step_remeasure(state, levels):
@@ -273,7 +280,7 @@ class Simulation:
             levels = _cl(build_levels(m0, cfg.perdir, cfg.sharded,
                                       lv_box0, bb, self._smoother_bf16,
                                       self._op_bf16))
-            new, aux = mom_step(cfg, levels, state)
+            new, aux = _mstep(cfg, levels, state)
             aux["band_ok"] = _band_covered(dc, bb)
             return _cs(new), aux
 
