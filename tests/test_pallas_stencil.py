@@ -405,6 +405,19 @@ def test_constrain_levels_forces_sharded_flags():
     # the output pytree structure, so the jitted result carries them
     out = jax.jit(lambda l: constrain_levels(l, mesh))(levs)
     assert all(l.sharded and not l.blocked for l in out)
+    # region budget: tiny levels stay on GSPMD forms (no lev.mesh — each
+    # shard_map region costs ~3 ms on the tunnel runtime regardless of
+    # level size, docs/PERF.md round 4); forcing the threshold to 0
+    # attaches the mesh to every evenly-divided level
+    assert all(l.mesh is None for l in out)
+    from waterlily_tpu.parallel import mesh as pmesh
+    old = pmesh.SHARDMAP_MIN_CELLS
+    try:
+        pmesh.SHARDMAP_MIN_CELLS = 0
+        out0 = jax.jit(lambda l: constrain_levels(l, mesh))(levs)
+    finally:
+        pmesh.SHARDMAP_MIN_CELLS = old
+    assert out0[0].mesh is not None
 
 
 def test_bf16_operator_gate_default_off():
@@ -419,3 +432,64 @@ def test_bf16_operator_gate_default_off():
     import jax.numpy as _jnp
     L = _jnp.ones((2, 10, 10), _jnp.float32)
     assert make_level(L).L16 is None
+
+
+@pytest.mark.parametrize("block", [1, 2, 5])  # 5 = ragged tail slab
+@pytest.mark.parametrize("bf16", [False, True])
+def test_pcg_blocked_matches_xla(level_and_fields, block, bf16, monkeypatch):
+    """Fused-iteration PCG sweeps (pcg_dir_mult/pcg_update) vs ops.poisson.pcg:
+    same dead-mask algebra, only dot association/FMA contraction differ."""
+    from waterlily_tpu.ops import pallas_stencil as ps
+    from waterlily_tpu.ops.poisson import pcg
+    S, lev, x, r, eps = level_and_fields
+    lev_t = lev.replace(bf16_eps=bf16)
+    x_ref, r_ref = pcg(lev_t, x, r, it=6)
+    monkeypatch.setattr(ps, "block_for_pcgiter", lambda *a, **k: block)
+    x_pl, r_pl = ps.pcg_blocked(lev_t, x, r, it=6, interpret=True)
+    assert x_pl.dtype == x.dtype and r_pl.dtype == r.dtype
+    # f32 is exact to dot-association ulps; bf16 directions sit on rounding
+    # boundaries that the (different) partial-dot association flips, so the
+    # trajectories honestly differ at bf16 precision (~1 ulp = 1/256
+    # relative, measured max 6e-3 at it=6)
+    tol = 2e-2 if bf16 else 2e-5
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_pl), atol=tol)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=tol)
+
+
+def test_pcg_blocked_bf16_shadow_operator(level_and_fields, monkeypatch):
+    """pcg_blocked with the level's L16/D16/iD16 shadows equals the XLA pcg
+    on the same shadowed level (both apply the bf16-rounded A in f32)."""
+    from waterlily_tpu.ops import poisson as pois
+    from waterlily_tpu.ops import pallas_stencil as ps
+    S, lev, x, r, eps = level_and_fields
+    monkeypatch.setattr(ps, "use_blocked", lambda *a, **k: True)
+    lev16 = pois.make_level(lev.L, op_bf16=True).replace(blocked=False)
+    x_ref, r_ref = pois.pcg(lev16, x, r, it=4)
+    x_pl, r_pl = ps.pcg_blocked(lev16, x, r, it=4, interpret=True)
+    # same bf16-rounding-boundary sensitivity as the bf16-direction case
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_pl), atol=2e-2)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=2e-2)
+
+
+def test_pcg_keeps_per_pass_path(level_and_fields, monkeypatch):
+    """ops.poisson.pcg does NOT dispatch the fused-iteration sweeps: the
+    same-session 256³ A/B measured them 0.968× the per-pass smoother
+    (scripts/ab_pcgiter.py, docs/PERF.md round 4) — retained as a
+    documented negative result, like the carried-rows kernels."""
+    from waterlily_tpu.ops import poisson as pois
+    from waterlily_tpu.ops import pallas_stencil as ps
+    S, lev, x, r, eps = level_and_fields
+    called = {}
+
+    def fake(lv, xx, rr, it):
+        called["hit"] = True
+        return xx, rr
+
+    monkeypatch.setattr(ps, "pcg_blocked", fake)
+    # blocked levels run the per-pass kernels (force interpret on CPU)
+    real_mult = ps.mult3d_pallas
+    monkeypatch.setattr(
+        ps, "mult3d_pallas",
+        lambda *a, **k: real_mult(*a, **{**k, "interpret": True}))
+    pois.pcg(lev.replace(blocked=True), x, r, it=2)
+    assert not called

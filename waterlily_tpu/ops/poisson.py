@@ -416,6 +416,16 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
     dt = x.dtype
     teneps = 10 * jnp.finfo(dt).eps
 
+    # The fused-iteration sweeps (`pallas_stencil.pcg_blocked`: eps rebuild,
+    # axpys and both dots inside two blocked kernels, zero full-array XLA
+    # passes) are NOT dispatched: the same-session 256³ step A/B measured
+    # 0.968× (64.97 → 67.14 ms/step, identical pois_n — scripts/
+    # ab_pcgiter.py, docs/PERF.md round 4).  The per-pass remainder below is
+    # already fusion-optimal in XLA, and the two-sweep split re-reads the
+    # x/r/eps/z streams across sweeps plus halo rows at the VMEM-forced
+    # B=1 — the same verdict as the carried-rows streaming kernels.
+    # Retained with interpret-mode tests as documentation.
+
     z = _rid(lev, r)
     eps = z.astype(jnp.bfloat16) if lev.bf16_eps else z
     rho = field_dot(r, z)
