@@ -159,10 +159,11 @@ def sphere_big(n=256):
 
 def sharded_1dev(n, dense_spp):
     """Compiled Mosaic-under-shard_map on real silicon (round-3 verdict
-    item 1a): the 256³ sphere on a 1-device mesh runs the ONE-region
-    whole-step shard_map program (`parallel.shard_step`) — per-shard
-    blocked kernels, ppermute halos, psum dots — on the one available
-    chip.  Ratio vs the unsharded step measured in this same run."""
+    item 1a): the 256³ sphere on a 1-device mesh runs the production
+    sharded config — the ONE-region multigrid solve
+    (`parallel.shard_solve`: per-shard blocked kernels, ppermute halos,
+    psum dots) plus per-phase shard_map conv regions — on the one
+    available chip.  Ratio vs the unsharded step from this same run."""
     from waterlily_tpu.models.cases import sphere_3d
     from waterlily_tpu.parallel.mesh import mesh_for
     mesh = mesh_for((n + 2,) * 3, 1)

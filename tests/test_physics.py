@@ -16,9 +16,12 @@ pin the two headline validation flows at CI-affordable resolution:
   above its initial value — the 3D-specific mechanism a 2D solve cannot
   produce (in 2D, enstrophy is non-increasing).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from waterlily_tpu.models.cases import circle_2d, tgv_3d
 from waterlily_tpu.metrics import pressure_force, ke, omega
@@ -85,3 +88,35 @@ def test_tgv3d_energy_decay_and_vortex_stretching():
     # vortex stretching: enstrophy grows far above its initial value
     # (impossible in 2D, where enstrophy is non-increasing; 1.89 measured)
     assert ens.max() / ens0 > 1.5, f"enstrophy ratio {ens.max() / ens0:.2f}"
+
+
+@pytest.mark.skipif(os.environ.get("WATERLILY_NIGHTLY") != "1",
+                    reason="sphere drag to tU/L=12: nightly tier (~5 min)")
+def test_sphere_drag_re100():
+    """Laminar-sphere drag regression (round-3 verdict item 3): Re=100,
+    steady axisymmetric wake, literature Cd ≈ 1.09 (Johnson & Patel 1999,
+    Roos & Willmarth).  At the radius-6 BDIM resolution used here the
+    drag plateaus at Cd = 0.867 (calibrated to tU/L=25: converged to 4
+    digits by tU/L≈10) — ~20% below literature, consistent with the 2D
+    circle's coarse-grid sensitivity (1.52 at reduced vs 1.74 at full
+    resolution, docs/PERF.md).  The window pins the solver against
+    regressions; the bench records the radius-8 headline Cd every round
+    (bench.py `mean_cd_tU50_55`)."""
+    import math
+    from waterlily_tpu.models.cases import sphere_3d
+    from waterlily_tpu.metrics import total_force
+
+    sim = sphere_3d(n=72, m=48, Re=100, dtype=jnp.float32)
+    nu = sim.cfg.nu
+    tf = jax.jit(lambda u, p: total_force(u, p, nu, sim.body, 0.0))
+    area = math.pi * (sim.L / 2) ** 2
+    rec = sim.run_record(12.0, every=1.0,
+                         fields={"f": lambda s: tf(s.flow.u, s.flow.p)},
+                         remeasure=False)
+    t = np.array(rec["t"])
+    cd = -2 * np.array(rec["f"])[:, 0] / area
+    w = t >= 9.0
+    mean_cd = cd[w].mean()
+    assert 0.82 < mean_cd < 0.92, f"mean Cd {mean_cd:.4f} (calib 0.867)"
+    # the wake is steady at Re=100: the plateau must be flat
+    assert abs(cd[-1] - cd[w][0]) < 0.01

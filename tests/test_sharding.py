@@ -591,15 +591,19 @@ def test_bc_vector_local_bitwise():
         assert np.array_equal(np.asarray(ref), np.asarray(out)), (S, save_exit)
 
 
-def test_shard_step_region_matches_dense():
+@pytest.mark.parametrize("pallas", ["off", "interpret"])
+def test_shard_step_region_matches_dense(pallas):
     """The ONE-region whole step (shardmap_mom_step) matches the dense
-    mom_step — velocity, pressure, dt, pois_n — including exitBC."""
+    mom_step — velocity, pressure, dt, pois_n — including exitBC.
+    ``interpret`` exercises the per-shard kernel tier (BC/div/projection
+    base-offset kernels + blocked stencils) on the virtual mesh."""
     from waterlily_tpu.parallel.mesh import mesh_for, constrain_levels
     from waterlily_tpu.parallel import mesh as pmesh
     from waterlily_tpu.parallel.shard_step import (shardmap_mom_step,
                                                    can_shard_step)
 
-    for kw in (dict(), dict(exitBC=True)):
+    for kw in ((dict(), dict(exitBC=True)) if pallas == "off"
+               else (dict(exitBC=True),)):
         cfg = FlowConfig(D=3, S=(18, 18, 18), U=(1.0, 0.0, 0.0), nu=0.01,
                          dtype=f32, **kw)
 
@@ -611,16 +615,21 @@ def test_shard_step_region_matches_dense():
         ref, aux_ref = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
 
         mesh = mesh_for(cfg.S, 8)
+        from waterlily_tpu.parallel import shard_step as sstep
         old = pmesh.SHARDMAP_MIN_CELLS
+        old_flag = sstep.WHOLE_STEP_REGION
         try:
             pmesh.SHARDMAP_MIN_CELLS = 0
+            sstep.WHOLE_STEP_REGION = True  # default-off: see shard_step.py
             levs = tuple(l.replace(mesh=mesh, sharded=True) for l in levels)
             assert can_shard_step(cfg._replace(sharded=True), levs)
             out, aux = jax.jit(
                 lambda s, l: shardmap_mom_step(cfg._replace(sharded=True),
-                                               l, s))(state, levs)
+                                               l, s, pallas=pallas))(
+                state, levs)
         finally:
             pmesh.SHARDMAP_MIN_CELLS = old
+            sstep.WHOLE_STEP_REGION = old_flag
         assert np.allclose(np.asarray(ref.u), np.asarray(out.u),
                            atol=1e-5), kw
         assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
@@ -695,3 +704,50 @@ def test_512cubed_sharded_step_compiles_aot():
         dims = [int(d) for d in m.group(1).split(",") if d]
         byts = 4 * int(np.prod(dims))
         assert byts < cap, f"all-gather of {byts/2**20:.0f} MB in 512^3 HLO"
+
+
+def test_sharded_moving_body_banded_measure():
+    """Sharded moving bodies keep the narrow-band remeasure (round-3
+    verdict item 5): under a mesh the window fields are built replicated
+    and resharded by the step's constraints — no dense D+1-grid autodiff
+    sweep.  The sharded heaving-sphere step must match the unsharded one
+    and must route through measure_fields_banded."""
+    from waterlily_tpu.models.cases import heaving_sphere_3d
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu import body as body_mod
+    from waterlily_tpu import simulation as sim_mod
+
+    # radius 12 in the 48³ domain keeps the band window under the
+    # max_frac=0.5 gate (smaller bodies decline banding)
+    kw = dict(radius=12, amp=4, Re=100, dtype=f32, bbox="force")
+    sim_ref = heaving_sphere_3d(**kw)
+    assert sim_ref.cfg.bbox_shape is not None  # dense sim: full banded path
+    sim_ref.steps(2, remeasure=True)
+
+    calls = {"banded": 0}
+    real = body_mod.measure_fields_banded
+
+    def spy(*a, **k):
+        calls["banded"] += 1
+        return real(*a, **k)
+
+    old = sim_mod.measure_fields_banded
+    sim_mod.measure_fields_banded = spy
+    try:
+        mesh = mesh_for((50, 50, 50), 8)
+        sim_s = heaving_sphere_3d(mesh=mesh, **kw)
+        # measurement-only banding: BDIM stays dense, measure is windowed
+        assert sim_s.cfg.bbox_shape is None
+        assert sim_s._measure_box is not None
+        sim_s.steps(2, remeasure=True)
+    finally:
+        sim_mod.measure_fields_banded = old
+    assert calls["banded"] >= 1
+    assert np.allclose(np.asarray(sim_ref.flow.u), np.asarray(sim_s.flow.u),
+                       atol=2e-5)
+    # p is defined only up to the iterative solve tolerance (tol=1e-4 on
+    # r·r); different dot associations land on different iterates
+    assert np.allclose(np.asarray(sim_ref.flow.p), np.asarray(sim_s.flow.p),
+                       atol=3e-3)
+    assert np.isclose(float(sim_ref.flow.dt), float(sim_s.flow.dt),
+                      rtol=1e-5)

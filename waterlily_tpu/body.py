@@ -331,8 +331,11 @@ def measure_fields_banded(body, S, t, eps, perdir, exitBC, dtype, box_shape,
                           fuse_ok=True):
     """Narrow-band BDIM rasterization (reference ``measure!``, Body.jl:32-44).
 
-    ``fuse_ok`` defaults True: banded sims are never GSPMD-sharded (design
-    invariant), so the fused Pallas BC sweep is always safe here.
+    ``fuse_ok`` defaults True (single-device banded sims); sharded layouts
+    pass False — they use this path for the MEASUREMENT only (the window
+    fields are built replicated and resharded by the step's constraints;
+    `Simulation._build_programs`), and the fused Pallas BC sweep cannot be
+    GSPMD-partitioned.
 
     The reference evaluates the expensive autodiff ``measure`` only at cells
     whose center sdf satisfies ``d² < (2+ε)²``; this is the TPU-native

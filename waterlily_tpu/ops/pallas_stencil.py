@@ -618,64 +618,100 @@ def increment3d_stream(L, Dd, eps, x, r, S, interpret=False, block=None):
 BLOCK_BC = 4
 
 
-def _bc_kernel(S, B, save_exit, perdir, a_ref, xc_ref, r1_ref, rS2_ref,
-               out_ref):
+def _bc_kernel(S, S_glob, B, save_exit, perdir, with_base, a_ref, *refs):
+    if with_base:
+        base_ref, xc_ref, r1_ref, rS2_ref, out_ref = refs
+    else:
+        (xc_ref, r1_ref, rS2_ref, out_ref), base_ref = refs, None
     c = pl.program_id(0)
     sh = (1, B, S[1], S[2])
-    g0 = pl.program_id(1) * B + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+
+    def gidx(ax, d):
+        g = jax.lax.broadcasted_iota(jnp.int32, sh, ax)
+        if d == 0:
+            g = g + pl.program_id(1) * B
+        if with_base:
+            g = g + base_ref[0, d]
+        return g
+
+    g0 = gidx(1, 0)
     v = xc_ref[...]
     Ac = a_ref[0, c]
 
     # stage j=0 (rows): sources are the ORIGINAL boundary rows (stage 0
-    # runs first in the reference's sequence)
+    # runs first in the reference's sequence).  Under shard_map the source
+    # row inputs point at LOCAL rows 1 / S-2, which hold the global rows 1
+    # / S_glob-2 exactly on the shards that also own the ghost planes
+    # (blocks are ≥2 rows); elsewhere their garbage is never selected.
     if 0 in perdir:
         v = jnp.where(g0 == 0, rS2_ref[...], v)
-        v = jnp.where(g0 == S[0] - 1, r1_ref[...], v)
+        v = jnp.where(g0 == S_glob[0] - 1, r1_ref[...], v)
     else:
         tang = jnp.where(g0 == 0, r1_ref[...],
-                         jnp.where(g0 == S[0] - 1, rS2_ref[...], v))
-        hi = (g0 == S[0] - 1) & (c != 0) if save_exit else (g0 == S[0] - 1)
+                         jnp.where(g0 == S_glob[0] - 1, rS2_ref[...], v))
+        hi = (g0 == S_glob[0] - 1) & (c != 0) if save_exit \
+            else (g0 == S_glob[0] - 1)
         dirv = jnp.where((g0 <= 1) | hi, Ac, v)
         v = jnp.where(c == 0, dirv, tang)
 
     # stages j=1,2 (sublanes/lanes): in-row plane selects of the updated v
+    # (local planes 1 / S-2 hold global planes 1 / S_glob-2 on the owning
+    # shards — same ownership argument as stage 0)
     for j, ax in ((1, 2), (2, 3)):
-        k = jax.lax.broadcasted_iota(jnp.int32, sh, ax)
+        k = gidx(ax, j)
         Sj = S[j]
         pl_ = lambda p: jax.lax.slice_in_dim(v, p, p + 1, axis=ax)
         if j in perdir:
             v = jnp.where(k == 0, pl_(Sj - 2), v)
-            v = jnp.where(k == Sj - 1, pl_(1), v)
+            v = jnp.where(k == S_glob[j] - 1, pl_(1), v)
         else:
             tang = jnp.where(k == 0, pl_(1),
-                             jnp.where(k == Sj - 1, pl_(Sj - 2), v))
-            dirv = jnp.where((k <= 1) | (k == Sj - 1), Ac, v)
+                             jnp.where(k == S_glob[j] - 1, pl_(Sj - 2), v))
+            dirv = jnp.where((k <= 1) | (k == S_glob[j] - 1), Ac, v)
             v = jnp.where(c == j, dirv, tang)
     out_ref[...] = v
 
 
 def bc3d_pallas(u, A, save_exit=False, perdir=(), interpret=False,
-                block=None):
+                block=None, S_glob=None, base=None):
     """BC-filled copy of the stacked (3, S0, S1, S2) velocity field in one
-    fused sweep (bitwise-equal to the DUS chain in `ops.bc.bc_vector`)."""
+    fused sweep (bitwise-equal to the DUS chain in `ops.bc.bc_vector`).
+
+    ``S_glob``/``base`` support shard_map-local calls (non-periodic only):
+    ``u`` is then a local block whose cell 0 sits at global index ``base``
+    per axis (traced, SMEM); boundary selects compare GLOBAL positions
+    while ghost sources come from the block's local rows (see the kernel
+    docstring for the ownership argument)."""
     S = u.shape[1:]
     dtype = u.dtype
     B = BLOCK_BC if block is None else block
     G = pl.cdiv(S[0], B)
+    if S_glob is None:
+        S_glob = S
+    assert not (perdir and base is not None), (
+        "periodic BC kernel is whole-grid only")
     Aarr = jnp.stack([jnp.asarray(a, dtype) for a in A]).reshape(1, 3)
     slab = pl.BlockSpec((1, B, S[1], S[2]), lambda c, g: (c, g, 0, 0))
     row = lambda p: pl.BlockSpec((1, 1, S[1], S[2]),
                                  lambda c, g, p=p: (c, p, 0, 0))
     a_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
         else pl.BlockSpec()
+    in_specs = [a_spec]
+    args = [Aarr]
+    if base is not None:
+        in_specs.append(a_spec)
+        args.append(jnp.asarray(base, jnp.int32).reshape(1, 3))
+    in_specs += [slab, row(1), row(S[0] - 2)]
+    args += [u, u, u]
     return pl.pallas_call(
-        partial(_bc_kernel, S, B, bool(save_exit), tuple(perdir)),
+        partial(_bc_kernel, S, S_glob, B, bool(save_exit), tuple(perdir),
+                base is not None),
         grid=(3, G),
-        in_specs=[a_spec, slab, row(1), row(S[0] - 2)],
+        in_specs=in_specs,
         out_specs=slab,
         out_shape=jax.ShapeDtypeStruct(u.shape, dtype),
         interpret=interpret,
-    )(Aarr, u, u, u)
+    )(*args)
 
 
 def use_bc3d(S, dtype) -> bool:
@@ -701,14 +737,21 @@ def use_bc3d(S, dtype) -> bool:
 BLOCK_PR = 1  # 24 resident rows at B=1 ~= 9.7 MB VMEM
 
 
-def _project_kernel(S, B, dtype, dt_ref, x_ref, xu_ref, L_ref, u_ref,
-                    uo_ref, p_ref):
+def _project_kernel(S, S_glob, B, dtype, with_base, dt_ref, *refs):
+    if with_base:
+        base_ref, x_ref, xu_ref, L_ref, u_ref, uo_ref, p_ref = refs
+    else:
+        (x_ref, xu_ref, L_ref, u_ref, uo_ref, p_ref), base_ref = refs, None
     sh = (B, S[1], S[2])
     g0 = pl.program_id(0) * B + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
     g1 = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
     g2 = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
-    m = ((g0 >= 1) & (g0 <= S[0] - 2) & (g1 >= 1) & (g1 <= S[1] - 2)
-         & (g2 >= 1) & (g2 <= S[2] - 2))
+    if with_base:
+        g0 = g0 + base_ref[0, 0]
+        g1 = g1 + base_ref[0, 1]
+        g2 = g2 + base_ref[0, 2]
+    m = ((g0 >= 1) & (g0 <= S_glob[0] - 2) & (g1 >= 1)
+         & (g1 <= S_glob[1] - 2) & (g2 >= 1) & (g2 <= S_glob[2] - 2))
     xc = x_ref[...]
     if B == 1:
         xm0 = xu_ref[...]
@@ -724,29 +767,42 @@ def _project_kernel(S, B, dtype, dt_ref, x_ref, xu_ref, L_ref, u_ref,
     p_ref[...] = (xc / dt_ref[0, 0]).astype(dtype)
 
 
-def project3d_pallas(L, x, u, dt_eff, interpret=False, block=None):
-    """(u - pad_interior(L∘∇x), x/dt) in one fused sweep (dense levels)."""
+def project3d_pallas(L, x, u, dt_eff, interpret=False, block=None,
+                     S_glob=None, base=None):
+    """(u - pad_interior(L∘∇x), x/dt) in one fused sweep (dense levels).
+
+    ``S_glob``/``base``: shard_map-local calls on halo-extended blocks —
+    the interior mask compares GLOBAL positions (cell 0 of the array sits
+    at global ``base`` per axis)."""
     S = x.shape
     dtype = x.dtype
     B = BLOCK_PR if block is None else block
     G = pl.cdiv(S[0], B)
+    if S_glob is None:
+        S_glob = S
     up = lambda g: (jnp.maximum(g * B - 1, 0), 0, 0)
     slab = pl.BlockSpec((B, S[1], S[2]), lambda g: (g, 0, 0))
     slab4 = pl.BlockSpec((3, B, S[1], S[2]), lambda g: (0, g, 0, 0))
     dt_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
         else pl.BlockSpec()
     dt_arr = jnp.asarray(dt_eff, dtype).reshape(1, 1)
+    in_specs = [dt_spec]
+    args = [dt_arr]
+    if base is not None:
+        in_specs.append(dt_spec if not interpret else pl.BlockSpec())
+        args.append(jnp.asarray(base, jnp.int32).reshape(1, 3))
+    in_specs += [slab, pl.BlockSpec((1, S[1], S[2]), up), slab4, slab4]
+    args += [x, x, L, u]
     u_new, p = pl.pallas_call(
-        partial(_project_kernel, S, B, dtype),
+        partial(_project_kernel, S, S_glob, B, dtype, base is not None),
         grid=(G,),
-        in_specs=[dt_spec, slab,
-                  pl.BlockSpec((1, S[1], S[2]), up), slab4, slab4],
+        in_specs=in_specs,
         out_specs=[slab4, slab],
         out_shape=[jax.ShapeDtypeStruct((3,) + S, dtype),
                    jax.ShapeDtypeStruct(S, dtype)],
-        input_output_aliases={4: 0},
+        input_output_aliases={(5 if base is not None else 4): 0},
         interpret=interpret,
-    )(dt_arr, x, x, L, u)
+    )(*args)
     return u_new, p
 
 
@@ -767,13 +823,21 @@ def use_project3d(S, dtype) -> bool:
 # sublane/lane rolls, and p rides along for the rescale.
 
 
-def _div_kernel(S, B, dtype, dt_ref, u_ref, ud_ref, p_ref, z_ref, x_ref):
+def _div_kernel(S, S_glob, B, dtype, with_base, dt_ref, *refs):
+    if with_base:
+        base_ref, u_ref, ud_ref, p_ref, z_ref, x_ref = refs
+    else:
+        (u_ref, ud_ref, p_ref, z_ref, x_ref), base_ref = refs, None
     sh = (B, S[1], S[2])
     g0 = pl.program_id(0) * B + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
     g1 = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
     g2 = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
-    m = ((g0 >= 1) & (g0 <= S[0] - 2) & (g1 >= 1) & (g1 <= S[1] - 2)
-         & (g2 >= 1) & (g2 <= S[2] - 2))
+    if with_base:
+        g0 = g0 + base_ref[0, 0]
+        g1 = g1 + base_ref[0, 1]
+        g2 = g2 + base_ref[0, 2]
+    m = ((g0 >= 1) & (g0 <= S_glob[0] - 2) & (g1 >= 1)
+         & (g1 <= S_glob[1] - 2) & (g2 >= 1) & (g2 <= S_glob[2] - 2))
     u = u_ref[...]
     if B == 1:
         u0p = ud_ref[0]
@@ -786,28 +850,40 @@ def _div_kernel(S, B, dtype, dt_ref, u_ref, ud_ref, p_ref, z_ref, x_ref):
     x_ref[...] = (p_ref[...] * dt_ref[0, 0]).astype(dtype)
 
 
-def div3d_pallas(u, p, dt_eff, interpret=False, block=None):
-    """(div(u) interior, p*dt) in one fused sweep."""
+def div3d_pallas(u, p, dt_eff, interpret=False, block=None, S_glob=None,
+                 base=None):
+    """(div(u) interior, p*dt) in one fused sweep.
+
+    ``S_glob``/``base``: shard_map-local calls on halo-extended blocks
+    (the interior mask compares GLOBAL positions)."""
     S = u.shape[1:]
     dtype = u.dtype
     B = BLOCK_PR if block is None else block
     G = pl.cdiv(S[0], B)
+    if S_glob is None:
+        S_glob = S
     dn = lambda g: (0, jnp.minimum(g * B + B, S[0] - 1), 0, 0)
     slab = pl.BlockSpec((B, S[1], S[2]), lambda g: (g, 0, 0))
     slab4 = pl.BlockSpec((3, B, S[1], S[2]), lambda g: (0, g, 0, 0))
     dt_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
         else pl.BlockSpec()
     dt_arr = jnp.asarray(dt_eff, dtype).reshape(1, 1)
+    in_specs = [dt_spec]
+    args = [dt_arr]
+    if base is not None:
+        in_specs.append(dt_spec if not interpret else pl.BlockSpec())
+        args.append(jnp.asarray(base, jnp.int32).reshape(1, 3))
+    in_specs += [slab4, pl.BlockSpec((1, 1, S[1], S[2]), dn), slab]
+    args += [u, u, p]
     return pl.pallas_call(
-        partial(_div_kernel, S, B, dtype),
+        partial(_div_kernel, S, S_glob, B, dtype, base is not None),
         grid=(G,),
-        in_specs=[dt_spec, slab4,
-                  pl.BlockSpec((1, 1, S[1], S[2]), dn), slab],
+        in_specs=in_specs,
         out_specs=[slab, slab],
         out_shape=[jax.ShapeDtypeStruct(S, dtype),
                    jax.ShapeDtypeStruct(S, dtype)],
         interpret=interpret,
-    )(dt_arr, u, u, p)
+    )(*args)
 
 
 # --- analytic (far-field) Poisson stencil ----------------------------------

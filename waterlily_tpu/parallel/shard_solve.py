@@ -42,7 +42,7 @@ from .halo import halo_exchange, _axis_shards, spatial_specs, \
     ghost_mask_local, get_shard_map
 from .shard_smooth import (can_shardmap, prep_local_op, pcg_local,
                            increment_local, residual_local, _auto_pallas,
-                           _local_shape, _spatial_names)
+                           _spatial_names)
 
 __all__ = ["shardmap_ml_solve", "can_shard_solve", "replicate_level",
            "ml_solve_local", "restrict_replicated", "prolongate_local"]
@@ -160,17 +160,20 @@ def prolongate_local(mesh: Mesh, S, xc):
 
 def ml_solve_local(mesh: Mesh, S, fL, fD, fiD, coarse_l, x_l, z_l,
                    tol=1e-4, itmx=32, fixed=None, pallas="off",
-                   it_smooth=6):
+                   it_smooth=6, op=None):
     """`ml_solve` body on a shard's local fine block (must run inside a
     shard_map region).  ``coarse_l`` are the REPLICATED coarser levels
-    (see `replicate_level`); returns ``(x_l, r_l, n)`` with ``n``
+    (see `replicate_level`); ``op`` optionally shares `prep_local_op`'s
+    output with the caller (the whole-step region reuses the halo'd L for
+    its projection kernel).  Returns ``(x_l, r_l, n)`` with ``n``
     replicated-identical across shards."""
     from ..ops.multigrid import vcycle as plain_vcycle
     from ..ops.poisson import smooth as plain_smooth
 
     D = x_l.ndim
     names = _spatial_names(mesh)
-    op = prep_local_op(mesh, fL, fD, D, pallas)
+    if op is None:
+        op = prep_local_op(mesh, fL, fD, D, pallas)
 
     def gdot2(a):
         return jax.lax.psum(jnp.sum(a * a), names)

@@ -41,6 +41,19 @@ from .shard_solve import ml_solve_local, replicate_level
 __all__ = ["shardmap_mom_step", "can_shard_step", "bc_vector_local"]
 
 
+# Default OFF: the whole-step region measured SLOWER than the one-region
+# solve + per-phase conv regions on the v5e tunnel (147.3 vs 108.7 ms/step
+# at 256³ on a 1-device mesh, dense 64.9 — scripts/ab_shard_step.py,
+# docs/PERF.md round 4): the in-region halo materializations (explicit
+# concat rounds for conv/BDIM/div/projection/CFL) and local forms cost
+# more than the ~3 saved region crossings, even with the base-offset
+# BC/div/projection kernels.  The design remains right for real
+# multi-chip meshes (fewest sync boundaries, every phase local) — flip
+# here or monkeypatch in tests; the virtual-mesh parity tests stay green
+# either way.
+WHOLE_STEP_REGION = False
+
+
 def can_shard_step(cfg, levels) -> bool:
     """Gate for the one-region step: an evenly-dividing mesh on the fine
     level, non-periodic, and none of the paths that must stay on GSPMD —
@@ -48,7 +61,7 @@ def can_shard_step(cfg, levels) -> bool:
     (``fixed_iters`` — Mosaic has no vjp), the implicit-diff step (its
     pre/post sweeps must stay XLA for the same reason)."""
     fine = levels[0]
-    return (fine.mesh is not None and not cfg.log
+    return (WHOLE_STEP_REGION and fine.mesh is not None and not cfg.log
             and cfg.fixed_iters is None and not cfg.implicit_diff
             and can_shardmap(fine.mesh, fine.D.shape, fine.perdir))
 
@@ -61,18 +74,34 @@ def _gidx(mesh: Mesh, S, loc_shape, d, lead=0):
     return jax.lax.broadcasted_iota(jnp.int32, loc_shape, lead + d) + base
 
 
-def bc_vector_local(mesh: Mesh, S, u_l, A, save_exit=False):
+def _base_of(mesh: Mesh, S, D):
+    """Global index of local cell 0 per axis (stacked i32, traced)."""
+    ax = _axis_shards(mesh, D)
+    return jnp.stack([
+        (jax.lax.axis_index(name) * jnp.int32(S[d] // k) if k > 1
+         else jnp.int32(0)) for d, (name, k) in enumerate(ax)])
+
+
+def bc_vector_local(mesh: Mesh, S, u_l, A, save_exit=False, pallas="off"):
     """Reference ``BC!`` (util.jl:192-210) on a local block, non-periodic.
 
-    Same sequential stage semantics as the DUS chain (component-major,
-    direction-minor; each stage reads the previous stage's values), as
-    global-index where-selects.  Ghost sources are one cell away along the
-    stage's own axis, so `jnp.roll` on the LOCAL block provides them:
-    ghost and source always share a shard (blocks are ≥2 cells wide), and
-    rolled wrap garbage is never selected.  Bitwise-equal to `ops.bc
-    .bc_vector`'s chain (the same values are selected per cell)."""
+    ``pallas != 'off'`` (3D): the fused one-sweep BC kernel with GLOBAL-
+    index selects (`bc3d_pallas` base offsets) — ghost sources come from
+    the block's local rows 1 / loc-2, which hold the global boundary rows
+    exactly on the shards that own the ghosts.  Fallback: the same
+    sequential stage semantics as the DUS chain (component-major,
+    direction-minor; each stage reads the previous stage's values) as
+    global-index where-selects, with `jnp.roll` providing the one-cell
+    sources (ghost and source always share a shard — blocks are ≥2 cells
+    wide — and rolled wrap garbage is never selected).  Both forms are
+    bitwise-equal to `ops.bc.bc_vector`'s chain."""
     D = u_l.shape[0]
     loc = u_l.shape[1:]
+    if pallas != "off" and D == 3:
+        from ..ops.pallas_stencil import bc3d_pallas
+        return bc3d_pallas(u_l, A, save_exit, S_glob=S,
+                           base=_base_of(mesh, S, D),
+                           interpret=(pallas == "interpret"))
     comps = []
     for i in range(D):
         v = u_l[i]
@@ -185,10 +214,12 @@ def _cfl_local(mesh, S, u_l, nu, dt_max=10.0):
     return jnp.minimum(jnp.asarray(dt_max, u_l.dtype), 1.0 / (mx + 5 * nu))
 
 
-def shardmap_mom_step(cfg, levels, state):
+def shardmap_mom_step(cfg, levels, state, pallas: str | None = None):
     """One predictor/corrector time step (reference `mom_step!`,
     src/Flow.jl:153-169) in ONE shard_map region.  Same phase order and
-    time conventions as `flow.mom_step`; returns ``(state, aux)``."""
+    time conventions as `flow.mom_step`; returns ``(state, aux)``.
+    ``pallas`` overrides the per-shard kernel dispatch ('interpret'
+    exercises the kernel tier on the virtual CPU mesh in tests)."""
     from ..flow import bc_tuple
     from ..ops.convect import accelerate
 
@@ -200,18 +231,44 @@ def shardmap_mom_step(cfg, levels, state):
     rep = P()
     coarse = tuple(replicate_level(l) for l in levels[1:])
     coarse_specs = jax.tree_util.tree_map(lambda _: rep, coarse)
-    pallas = _auto_pallas(mesh, S, dtype)
+    if pallas is None:
+        pallas = _auto_pallas(mesh, S, dtype)
 
     def local(u, p, V, mu0, mu1, dt, t, fL, fD, fiD, coarse_l):
+        from .shard_smooth import prep_local_op
         U = bc_tuple(cfg.U, t + dt, D, dtype)
         gmask = ghost_mask_local(mesh, S, u.shape[1:])
+        op = prep_local_op(mesh, fL, fD, D, pallas)
+        base_ext = (_base_of(mesh, S, D) - 1 if pallas != "off" else None)
 
         def solve_project(u, p, dt_eff):
-            z = _div_local(mesh, S, u)
-            x = p * dt_eff
+            if pallas != "off":
+                # fused kernels on the halo-extended block, GLOBAL-index
+                # masks (`div3d_pallas`/`project3d_pallas` base offsets);
+                # the halo'd L comes from the solve's operator prep
+                from ..ops.pallas_stencil import div3d_pallas, \
+                    project3d_pallas
+                interp = pallas == "interpret"
+                pad1 = [(0, 0)] + [(1, 1)] * D
+                uh = halo_exchange(u, mesh, D)
+                ph = jnp.pad(p, [(1, 1)] * D)
+                z, x = div3d_pallas(uh, ph, dt_eff, S_glob=S, base=base_ext,
+                                    interpret=interp)
+                tr = (slice(1, -1),) * D
+                z, x = z[tr], x[tr]
+            else:
+                z = _div_local(mesh, S, u)
+                x = p * dt_eff
             x, _r, n = ml_solve_local(mesh, S, fL, fD, fiD, coarse_l, x, z,
                                       tol=cfg.tol, itmx=cfg.itmx,
-                                      pallas=pallas)
+                                      pallas=pallas, op=op)
+            if pallas != "off":
+                Lh, _Dh = op
+                xh = halo_exchange(x, mesh, D)
+                uh = jnp.pad(u, pad1)
+                un, pn = project3d_pallas(Lh, xh, uh, dt_eff, S_glob=S,
+                                          base=base_ext, interpret=interp)
+                return un[(slice(None),) + tr], pn[tr], n
             u = _pressure_correct_local(mesh, S, fL, x, u)
             return u, x / dt_eff, n
 

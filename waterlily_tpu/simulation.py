@@ -202,14 +202,26 @@ class Simulation:
         # one v5e: (96,64,64) 3.6→4.4 ms banded, 1024² and 256³ win).
         # bbox="force" bypasses the size gate (tests / unusual configs).
         bbox_shape = None
+        measure_box = None
         big = math.prod(self._dims) >= 600_000 or bbox == "force"
-        if (bbox and self.mesh is None and big
-                and not isinstance(self.body, NoBody)):
+        if bbox and big and not isinstance(self.body, NoBody):
             margin = (bbox if isinstance(bbox, int)
                       and not isinstance(bbox, bool) else 3)
-            bbox_shape = band_box_shape(self.body, S, float(t0), self.epsilon,
-                                        dtype, margin=margin)
+            shape = band_box_shape(self.body, S, float(t0), self.epsilon,
+                                   dtype, margin=margin)
+            if self.mesh is None:
+                bbox_shape = shape
+            else:
+                # sharded layouts keep the dense BDIM blend (the window DUS
+                # would gather across shards / the one-region step blends
+                # locally) but still get the narrow-band MEASUREMENT: the
+                # window fields are built replicated and the step's sharding
+                # constraints reshard them (replicated -> sharded is a local
+                # slice, no gather).  Kills the dense D+1-grid autodiff
+                # sweep per remeasure step (~30x at 256³; Body.jl:32-44).
+                measure_box = shape
         self.cfg = FlowConfig(**self._cfg_kw, bbox_shape=bbox_shape)
+        self._measure_box = measure_box
         # The banded *Poisson* operator trades coefficient reads for per-
         # smoother-iteration window fix-ups (full-array dynamic updates) —
         # measured 2.4x SLOWER than the dense blocked path at 256^3, so it
@@ -219,6 +231,8 @@ class Simulation:
         self._lv_box = lv_box0
         cfg, body0, eps0 = self.cfg, self.body, self.epsilon
         _cs, _cl = self._cs, self._cl
+
+        mbox = measure_box  # measurement-only window (sharded layouts)
 
         def _bbox_of(d_center):
             if cfg.bbox_shape is None:
@@ -234,14 +248,19 @@ class Simulation:
             grows past it (deforming sdf, band splitting across a periodic
             boundary) would silently get far-field constants outside the
             window — this is surfaced as a hard error by the stepping loop.
+            For measurement-only banding (sharded layouts) the window corner
+            is re-derived here (state.bbox stays zero — nothing consumes it).
             """
-            if cfg.bbox_shape is None:
+            box = cfg.bbox_shape if cfg.bbox_shape is not None else mbox
+            if box is None:
                 return jnp.bool_(True)
             band = d_center < (2.0 + eps0)
+            if cfg.bbox_shape is None:
+                bb = band_box_start(band, box)
             inw = None
             for d in range(D):
                 k = jax.lax.broadcasted_iota(jnp.int32, S, d)
-                m = (k >= bb[d] + 1) & (k < bb[d] + 1 + cfg.bbox_shape[d])
+                m = (k >= bb[d] + 1) & (k < bb[d] + 1 + box[d])
                 inw = m if inw is None else inw & m
             return ~jnp.any(band & ~inw)
 
@@ -250,10 +269,22 @@ class Simulation:
         def _measure_all(t):
             """Narrow-band measurement when the body window is on (the
             reference's d²<(2+ε)² gate, Body.jl:32-44); dense otherwise."""
-            if cfg.bbox_shape is not None:
-                return measure_fields_banded(body0, S, t, eps0, cfg.perdir,
-                                             cfg.exitBC, dtype,
-                                             cfg.bbox_shape)
+            box = cfg.bbox_shape if cfg.bbox_shape is not None else mbox
+            if box is not None:
+                out = measure_fields_banded(body0, S, t, eps0, cfg.perdir,
+                                            cfg.exitBC, dtype, box,
+                                            fuse_ok=not cfg.sharded)
+                if cfg.sharded:
+                    # pin the window-built fields replicated so the backward
+                    # sharding propagation from the (sharded) step cannot
+                    # turn the dynamic-offset window writes into gathers;
+                    # the step's constraints then reshard replicated->
+                    # sharded, which is a local slice
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    rep = NamedSharding(self.mesh, PartitionSpec())
+                    out = tuple(
+                        jax.lax.with_sharding_constraint(a, rep) for a in out)
+                return out
             return measure_fields(body0, S, t, eps0, cfg.perdir,
                                   cfg.exitBC, dtype,
                                   fuse_ok=not cfg.sharded)
