@@ -197,6 +197,21 @@ def moving_256():
     }
 
 
+def tgv3d_128():
+    """3D Taylor-Green 128³, fully periodic — exercises the periodic flux
+    variants of the blocked conv kernel (ϕuP wrap + top-face flux copy,
+    round-3 verdict item 4) at scale."""
+    from waterlily_tpu.models.cases import tgv_3d
+    sim = tgv_3d(L=128, dtype=jnp.float32)
+    spp = _steady_step_time(sim, warm=15, steps=30)
+    return {
+        "metric": "3D Taylor-Green 128^3 periodic: ms/step",
+        "value": round(spp * 1e3, 2), "unit": "ms/step",
+        "mlups": round(128 ** 3 / spp / 1e6, 1),
+        "baseline": "none (no reference number; tracked round-over-round)",
+    }
+
+
 def circle_2d_wall():
     """Reference's own 2D benchmark: circle (96,64) to tU/L=50 vs ~28 s on
     an 8-thread CPU (README.md:133-137, BASELINE.md)."""
@@ -299,6 +314,7 @@ def main():
             ("2D circle wall", circle_2d_wall),
             ("2D TGV 64^2", lambda: small_config(
                 "2D Taylor-Green 64^2 periodic: ms/step", tgv_2d)),
+            ("3D TGV 128^3", tgv3d_128),
             ("2D osc plate", lambda: small_config(
                 "2D oscillating plate (130^2) remeasure: ms/step",
                 oscillating_plate_2d, remeasure=True)),
