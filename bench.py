@@ -310,6 +310,10 @@ def main():
             # largest verified config (round 3; per-DOF cost IMPROVES with
             # size as fixed costs amortize: 1.26 vs 1.42 ns/DOF same session)
             ("3D sphere 320^3", lambda: sphere_big(320)[1]),
+            # round-4 ceiling probe: 352^3 (43.6M cells) compiles and runs
+            # (1.005 ns/DOF measured); 384^3 still HTTP-500s in the
+            # terminal's remote-compile helper
+            ("3D sphere 352^3", lambda: sphere_big(352)[1]),
             ("256^3 remeasure", moving_256),
             ("2D circle wall", circle_2d_wall),
             ("2D TGV 64^2", lambda: small_config(
