@@ -91,6 +91,34 @@ def test_tgv3d_energy_decay_and_vortex_stretching():
 
 
 @pytest.mark.skipif(os.environ.get("WATERLILY_NIGHTLY") != "1",
+                    reason="TGV dissipation peak to t*=12: nightly tier")
+def test_tgv3d_dissipation_peak_dns():
+    """3D TGV Re=1600 dissipation-curve validation against published DNS.
+
+    The volume-mean KE (DNS normalization: 1/8 at t=0) decays with a
+    dissipation-rate peak eps(t*) = -dKE/dt* of ~0.0117-0.0122 at
+    t* ~ 8.2-9.0 (Brachet et al.; HiOCFD C3.5 512^3 spectral reference).
+    At 64^3 this solver measures peak 0.01199 at t*=8.34 on TPU f32
+    (scripts/tgv3d_dissipation.py; 128^3/256^3 curves in docs/ROUND4.md)
+    — INSIDE the DNS window.  The windows below bound both the peak value
+    and its time; t* = 2*pi*t_sim for this case's kappa = 2*pi/L."""
+    import math
+    from waterlily_tpu.grid import interior_view
+
+    sim = tgv_3d(L=64, Re=1600, dtype=jnp.float32)
+    mke = jax.jit(
+        lambda u: 0.5 * jnp.mean(jnp.sum(interior_view(u, 3) ** 2, axis=0)))
+    rec = sim.run_record(12.0 / (2 * math.pi), every=1.0 / (8 * math.pi),
+                         fields={"ke": lambda s: mke(s.flow.u)})
+    tstar = 2 * math.pi * np.array(rec["t"])
+    keser = np.array(rec["ke"], dtype=np.float64)
+    eps = -np.gradient(keser, tstar)
+    i = int(np.argmax(eps))
+    assert 0.0110 < eps[i] < 0.0130, f"peak eps {eps[i]:.5f} (calib 0.01199)"
+    assert 7.5 < tstar[i] < 9.3, f"peak at t* {tstar[i]:.2f} (calib 8.34)"
+
+
+@pytest.mark.skipif(os.environ.get("WATERLILY_NIGHTLY") != "1",
                     reason="sphere drag to tU/L=12: nightly tier (~5 min)")
 def test_sphere_drag_re100():
     """Laminar-sphere drag regression (round-3 verdict item 3): Re=100,

@@ -1218,6 +1218,13 @@ def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
                             (0, 0), (0, 1)]:
                 specs.append(frow(c, row_))
                 args.append(u)
+        # the six axis-0 wrap/face rows push the periodic variant past the
+        # default 16 MB scoped-VMEM budget at 256^3 (17.64 MB measured);
+        # raise the scoped limit for that variant only — v5e has 128 MB
+        # physical VMEM and the non-periodic path (the benched sphere
+        # configs) keeps the conservative default
+        params = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+                  if (perdir and not interpret) else None)
         comps.append(pl.pallas_call(
             partial(_conv_comp_kernel, S, S_glob, B, nu, limiter, dtype, i,
                     bases, perdir),
@@ -1226,5 +1233,6 @@ def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
             out_specs=slab,
             out_shape=jax.ShapeDtypeStruct(S, dtype),
             interpret=interpret,
+            compiler_params=params,
         )(*args))
     return jnp.stack(comps, axis=0)
