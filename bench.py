@@ -197,17 +197,20 @@ def moving_256():
     }
 
 
-def tgv3d_128():
-    """3D Taylor-Green 128³, fully periodic — exercises the periodic flux
+def tgv3d_big(L=128):
+    """3D Taylor-Green, fully periodic — exercises the periodic flux
     variants of the blocked conv kernel (ϕuP wrap + top-face flux copy,
-    round-3 verdict item 4) at scale."""
+    round-3 verdict item 4) at scale.  The 256³ entry also guards the
+    periodic variant's raised scoped-VMEM budget on real hardware (it
+    overflowed the 16 MB default at 256³ until round 4 — nothing else in
+    CI compiles that path on a TPU)."""
     from waterlily_tpu.models.cases import tgv_3d
-    sim = tgv_3d(L=128, dtype=jnp.float32)
+    sim = tgv_3d(L=L, dtype=jnp.float32)
     spp = _steady_step_time(sim, warm=15, steps=30)
     return {
-        "metric": "3D Taylor-Green 128^3 periodic: ms/step",
+        "metric": f"3D Taylor-Green {L}^3 periodic: ms/step",
         "value": round(spp * 1e3, 2), "unit": "ms/step",
-        "mlups": round(128 ** 3 / spp / 1e6, 1),
+        "mlups": round(L ** 3 / spp / 1e6, 1),
         "baseline": "none (no reference number; tracked round-over-round)",
     }
 
@@ -318,7 +321,8 @@ def main():
             ("2D circle wall", circle_2d_wall),
             ("2D TGV 64^2", lambda: small_config(
                 "2D Taylor-Green 64^2 periodic: ms/step", tgv_2d)),
-            ("3D TGV 128^3", tgv3d_128),
+            ("3D TGV 128^3", tgv3d_big),
+            ("3D TGV 256^3", lambda: tgv3d_big(256)),
             ("2D osc plate", lambda: small_config(
                 "2D oscillating plate (130^2) remeasure: ms/step",
                 oscillating_plate_2d, remeasure=True)),
