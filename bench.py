@@ -82,23 +82,29 @@ def _timed_horizon(make, t_end, chunk=50, warm_launches=600):
 
 
 def _mean_cd(sim, span=5.0, area=None):
-    """Mean drag coefficient over the next ``span`` tU/L of ``sim``.
+    """Mean drag coefficients over the next ``span`` tU/L of ``sim``.
 
     ``Cd = -2 Fx / (rho U^2 A)`` with rho=1; ``A`` defaults to the circle
     pi r^2 of a sphere of length scale L=2r.  Sampled every 0.25 tU/L with
-    the total (pressure+viscous) force (reference Metrics.jl:94-127)."""
+    the total (pressure+viscous) force, under BOTH the reference-semantics
+    band-center estimator (Metrics.jl:94-127) and the surface-extrapolated
+    one (metrics.py sampling="extrap"; scripts/cd_estimators.py study).
+    Returns ``(cd_center, cd_extrap)``."""
     import math as _m
     from waterlily_tpu.metrics import total_force
     if area is None:
         area = _m.pi * (sim.L / 2) ** 2
     nu = sim.cfg.nu
-    tf = jax.jit(lambda u, p: total_force(u, p, nu, sim.body, 0.0))
+    tf = jax.jit(lambda u, p: jnp.stack(
+        [total_force(u, p, nu, sim.body, 0.0)[0],
+         total_force(u, p, nu, sim.body, 0.0, sampling="extrap")[0]]))
     rec = sim.run_record(sim.sim_time + span, every=0.25,
                          fields={"f": lambda s: tf(s.flow.u, s.flow.p)},
                          remeasure=False)
     import numpy as np
-    fx = np.array(rec["f"])[:, 0]
-    return float(-2.0 * fx.mean() / (sim.U ** 2 * area))
+    fx = np.array(rec["f"])
+    cds = -2.0 * fx.mean(axis=0) / (sim.U ** 2 * area)
+    return float(cds[0]), float(cds[1])
 
 
 def headline(quick):
@@ -133,7 +139,9 @@ def headline(quick):
         # tU/L=50).  Re=100 laminar sphere: literature Cd ≈ 1.09
         # (Johnson & Patel 1999); radius-8 BDIM resolution runs high.
         try:
-            out["mean_cd_tU50_55"] = round(_mean_cd(sim), 4)
+            cd_c, cd_x = _mean_cd(sim)
+            out["mean_cd_tU50_55"] = round(cd_c, 4)
+            out["mean_cd_extrap_tU50_55"] = round(cd_x, 4)
             out["cd_literature_re100"] = 1.09
         except Exception as e:
             out["mean_cd_tU50_55"] = repr(e)

@@ -92,6 +92,33 @@ def test_viscous_force_zero():
     assert np.allclose(np.asarray(viscous_force(jnp.zeros((3, N, N, N), f64), 1.0, body)), 0)
 
 
+def test_force_sampling_variants():
+    # The surface/extrap estimators (no reference analog; see
+    # scripts/cd_estimators.py) must agree with the center estimator on
+    # fields where all samplings are exact: multilinear interp AND linear
+    # extrapolation reproduce linear fields exactly, so the hydrostatic
+    # buoyancy oracle holds for every sampling, and a linear-shear velocity
+    # (uniform strain rate) gives an identical viscous integrand everywhere.
+    import pytest
+    N = 32
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - N / 2) ** 2)) - N // 4)
+    p = apply_field(lambda x: x[1], (N, N), f64)
+    for sampling in ("center", "surface", "extrap"):
+        force = np.asarray(pressure_force(p, body, sampling=sampling))
+        assert np.sum(np.abs(force / (np.pi * (N / 4) ** 2)
+                             - np.array([0, 1]))) < 2e-3, sampling
+    u = apply_field(lambda i, x: x[(i + 1) % 2], (2, N, N), f64, vector=True)
+    ref = np.asarray(viscous_force(u, 0.7, body))
+    for sampling in ("surface", "extrap"):
+        v = np.asarray(viscous_force(u, 0.7, body, sampling=sampling))
+        assert np.allclose(v, ref, atol=1e-8), sampling
+    from waterlily_tpu.metrics import total_force
+    tf = np.asarray(total_force(u, p, 0.7, body, sampling="extrap"))
+    assert tf.shape == (2,) and np.all(np.isfinite(tf))
+    with pytest.raises(ValueError):
+        pressure_force(p, body, sampling="bogus")
+
+
 def test_pressure_moment():
     # maintests.jl:365-368: hydrostatic pressure has no moment about center
     N = 32

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .grid import shift, interior, interior_view, loc_grid
+from .grid import shift, interior, interior_view, loc_grid, interp
 from .body import measure, kern
 
 __all__ = ["ke", "grad_tensor", "strain_rate", "lambda2", "curl", "omega",
@@ -140,43 +140,110 @@ def omega_theta(u, z_axis, center):
     return jnp.where(n <= jnp.finfo(u.dtype).eps, 0.0, dot / jnp.where(n == 0, 1.0, n))
 
 
-def nds(body, S, t, dtype):
-    """BDIM-masked surface normal field ``n̂·kern(clamp(d,-1,1))`` at cell
-    centers (reference `nds`, Metrics.jl:84-87).  Shape (D,*S)."""
+def _band_measure(body, S, t, dtype):
+    """Per-cell band geometry: kernel weight ``w``, outward normal ``n`` and
+    the surface projection ``xs = x - d·n̂`` of every cell center.
+
+    ``measure`` early-outs to ``(d, 0, 0)`` outside ``fastd²=1`` — there the
+    kernel weight is exactly zero (``kern(±1)=0``) so the degenerate
+    projection (``xs=x``) never contributes.  Flat ``(Ncells, ·)`` layout.
+    """
     D = len(S)
     pts = loc_grid(S, None, dtype).reshape(-1, D)
     t_ = jnp.asarray(t, dtype)
     d, n, _ = jax.vmap(lambda x: measure(body, x, t_, 1.0))(pts)
     w = kern(jnp.clip(d, -1, 1))
+    xs = pts - d[:, None] * n
+    return w, n, xs
+
+
+def nds(body, S, t, dtype):
+    """BDIM-masked surface normal field ``n̂·kern(clamp(d,-1,1))`` at cell
+    centers (reference `nds`, Metrics.jl:84-87).  Shape (D,*S)."""
+    D = len(S)
+    w, n, _ = _band_measure(body, S, t, dtype)
     return jnp.moveaxis((n * w[:, None]).reshape(S + (D,)), -1, 0).astype(dtype)
 
 
-def pressure_force(p, body, t=0.0):
-    """Σ p·n̂ ds over the body surface (reference Metrics.jl:94-100)."""
+def _band_sample(scalar, sampling, n, xs):
+    """Sample a cell-centered scalar field over band points per ``sampling``.
+
+    ``"surface"`` interpolates at the surface projection ``xs``; ``"extrap"``
+    linearly extrapolates to the surface from probes one and two cells
+    OUTSIDE it along the normal (``f_s = 2·f(xs+n̂) − f(xs+2n̂)``), so the
+    sample never reads values from inside the BDIM-smeared band."""
+    samp = lambda q: jax.vmap(lambda x: interp(x, scalar))(q)
+    if sampling == "surface":
+        return samp(xs)
+    if sampling == "extrap":
+        return 2.0 * samp(xs + n) - samp(xs + 2.0 * n)
+    raise ValueError(f"unknown sampling {sampling!r}")
+
+
+def pressure_force(p, body, t=0.0, sampling="center"):
+    """Σ p·n̂ ds over the body surface (reference Metrics.jl:94-100).
+
+    ``sampling`` selects where the integrand is evaluated (the kern-weighted
+    band quadrature itself is unchanged):
+
+    - ``"center"`` (default) — band-cell centers, the reference's exact
+      semantics.
+    - ``"surface"`` — multilinear ``interp`` at the surface projection
+      ``x − d·n̂``.
+    - ``"extrap"`` — linear extrapolation to the surface from probes at
+      ``+1h``/``+2h`` outside it, avoiding values contaminated by BDIM's
+      O(h) boundary smearing.  Measured on the laminar sphere at Re=100
+      (scripts/cd_estimators.py): cuts the Cd deficit vs literature from
+      −20% to −10% at radius 6 and from −17% to −2% at radius 12, almost
+      entirely by recovering the under-resolved surface strain rate.
+      Assumes the body is ≳2 cells from the domain boundary (probes are
+      clamped at grid edges).
+    """
     S = p.shape
     D = len(S)
-    nd = nds(body, S, t, p.dtype)
-    return jnp.stack([jnp.sum(interior_view(p * nd[i], D)) for i in range(D)])
+    if sampling == "center":
+        nd = nds(body, S, t, p.dtype)
+        return jnp.stack([jnp.sum(interior_view(p * nd[i], D)) for i in range(D)])
+    w, n, xs = _band_measure(body, S, t, p.dtype)
+    ps = _band_sample(p, sampling, n, xs)
+    pw = (ps * w).reshape(S)
+    nd = jnp.moveaxis(n.reshape(S + (D,)), -1, 0)
+    return jnp.stack([jnp.sum(interior_view(pw * nd[i], D)) for i in range(D)])
 
 
-def viscous_force(u, nu, body, t=0.0):
-    """Σ -ν(∇u+∇uᵀ)·n̂ ds over the surface (reference Metrics.jl:114-120)."""
+def viscous_force(u, nu, body, t=0.0, sampling="center"):
+    """Σ -ν(∇u+∇uᵀ)·n̂ ds over the surface (reference Metrics.jl:114-120).
+
+    ``sampling`` as in `pressure_force`: the rate-of-strain tensor is
+    evaluated at band-cell centers (reference semantics), at the surface
+    projection, or extrapolated to the surface from outside the smeared
+    band — the dominant coarse-grid force error lives in this term."""
     D = u.shape[0]
     S = u.shape[1:]
-    nd = nds(body, S, t, u.dtype)
     sr = strain_rate(u)
-    out = []
-    for i in range(D):
-        tot = jnp.zeros(S, u.dtype)
-        for j in range(D):
-            tot = tot + sr[i, j] * nd[j]
-        out.append(-nu * jnp.sum(interior_view(tot, D)))
-    return jnp.stack(out)
+    if sampling == "center":
+        nd = nds(body, S, t, u.dtype)
+        out = []
+        for i in range(D):
+            tot = jnp.zeros(S, u.dtype)
+            for j in range(D):
+                tot = tot + sr[i, j] * nd[j]
+            out.append(-nu * jnp.sum(interior_view(tot, D)))
+        return jnp.stack(out)
+    w, n, xs = _band_measure(body, S, t, u.dtype)
+    # Sample each strain component at the probe points (sr lives at cell
+    # centers, so plain scalar interp applies componentwise).
+    srs = jnp.stack([jnp.stack([_band_sample(sr[i, j], sampling, n, xs)
+                                for j in range(D)]) for i in range(D)])  # (D,D,Ncells)
+    tot = jnp.einsum("ijc,cj->ci", srs, n) * w[:, None]  # (Ncells,D)
+    totg = jnp.moveaxis(tot.reshape(S + (D,)), -1, 0)
+    return jnp.stack([jnp.sum(interior_view(-nu * totg[i], D)) for i in range(D)])
 
 
-def total_force(u, p, nu, body, t=0.0):
+def total_force(u, p, nu, body, t=0.0, sampling="center"):
     """Pressure + viscous force (reference Metrics.jl:127)."""
-    return pressure_force(p, body, t) + viscous_force(u, nu, body, t)
+    return (pressure_force(p, body, t, sampling=sampling)
+            + viscous_force(u, nu, body, t, sampling=sampling))
 
 
 def pressure_moment(x0, p, body, t=0.0):
