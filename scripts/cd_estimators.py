@@ -94,10 +94,20 @@ def build_estimators(sim):
     return jax.jit(fx)
 
 
-def run(radius, t_end=14.0):
-    m = 8 * radius
+def run(radius, t_end=14.0, width=4):
+    """``width`` is the box cross-section in sphere diameters (ladder: 4)."""
+    m = 2 * radius * width
     n = 3 * m // 2
-    sim = sphere_3d(n=n, m=m, Re=100, dtype=jnp.float32)
+    if width == 4:
+        sim = sphere_3d(n=n, m=m, Re=100, dtype=jnp.float32)
+    else:  # same setup as cd_confinement.py: radius fixed, box widened
+        from waterlily_tpu.simulation import Simulation
+        from waterlily_tpu.body import AutoBody
+        center = m / 2 - 1
+        body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - center) ** 2))
+                        - radius)
+        sim = Simulation((n, m, m), (1, 0, 0), 2 * radius,
+                         nu=2 * radius / 100, body=body, dtype=jnp.float32)
     est = build_estimators(sim)
     area = math.pi * (sim.L / 2) ** 2
     t0 = time.time()
@@ -111,7 +121,7 @@ def run(radius, t_end=14.0):
     for i, v in enumerate(VARIANTS):
         vals["p_" + v] = -2 * e[w, 2 * i].mean() / area
         vals["v_" + v] = -2 * e[w, 2 * i + 1].mean() / area
-    print(f"radius {radius}  grid ({n},{m},{m})  [{time.time()-t0:.0f} s]")
+    print(f"radius {radius}  width {width} diam  grid ({n},{m},{m})  [{time.time()-t0:.0f} s]")
     print(f"  {'variant':10s} {'Cp':>8s} {'Cv':>8s} {'Cd':>8s}   vs lit {CD_LIT}")
     for v in VARIANTS:
         cd = vals["p_" + v] + vals["v_" + v]
@@ -121,9 +131,11 @@ def run(radius, t_end=14.0):
 
 
 def main():
-    radii = [int(a) for a in sys.argv[1:]] or [6]
-    for r in radii:
-        run(r)
+    # args: radius or radiusxwidth (box width in diameters, default 4)
+    specs = sys.argv[1:] or ["6"]
+    for s in specs:
+        r, _, w = s.partition("x")
+        run(int(r), width=int(w) if w else 4)
 
 
 if __name__ == "__main__":
