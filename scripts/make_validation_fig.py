@@ -42,7 +42,11 @@ def main():
     ax1.text(8.6, 0.0008, "DNS peak window\n(512$^3$ spectral)", fontsize=8,
              color=INK2, ha="center", va="bottom")
     for L in (64, 128, 256):
-        d = np.load(os.path.join(ASSETS, f"tgv3d_{L}.npz"))
+        f = os.path.join(ASSETS, f"tgv3d_{L}.npz")
+        if not os.path.exists(f):  # curves are regenerated per-resolution
+            print(f"skip {f} (not regenerated yet)")
+            continue
+        d = np.load(f)
         ax1.plot(d["tstar"], d["eps"], color=COLORS[L], lw=2, label=f"{L}$^3$")
     ax1.set_xlabel("t*  (convective units)", color=INK)
     ax1.set_ylabel(r"dissipation  $\varepsilon=-\,dKE/dt^*$", color=INK)
