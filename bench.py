@@ -152,7 +152,11 @@ def sphere_big(n=256):
     from waterlily_tpu.models.cases import sphere_3d
     sim = sphere_3d(n=n, m=n, Re=3700, dtype=jnp.float32)
     spp = _steady_step_time(sim)
-    cells = (n - 2) ** 3
+    # Simulation dims ARE the interior (S = dims+2, simulation.py), so the
+    # n^3 sphere has n^3 interior cells — the same convention as headline's
+    # n*m*m and the reference's per-DOF accounting (its N are interior
+    # dims too, src/Flow.jl:113 `Ng = N .+ 2`; DOF = D·prod(N)).
+    cells = n ** 3
     ns_dof = spp / (3 * cells) * 1e9
     return spp, {
         "metric": f"3D sphere {n}^3 f32 static: ms/step",

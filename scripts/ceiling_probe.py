@@ -2,20 +2,20 @@
 
 Round 4 pinned 352^3 (43.6M cells) as the verified single-chip ceiling and
 showed 384^3 fails both ways (remote-compile HTTP 500 with the kernel tier,
-HBM RESOURCE_EXHAUSTED pure-XLA).  This probe walks the gap: 368^3 is 49.5M
-cells (1.14x the 352^3 footprint) and structurally identical for the MG
-hierarchy (interior 366 = 2*183, same 2-level factorization as 350/254).
+HBM RESOURCE_EXHAUSTED pure-XLA).  This probe walks the gap: interior
+368 = 2^4*23 (padded 370) gives ~49.8M cells, 1.14x the 352^3 footprint.
 
 Usage: python scripts/ceiling_probe.py [n]   (default 368)
 Prints steady ms/step + ns/DOF on success; the failure mode otherwise.
 """
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -34,7 +34,7 @@ def main():
         sim.steps(40)
         jax.block_until_ready(sim.flow.u)
         best = min(best, (time.perf_counter() - t0) / 40)
-    cells = (n - 2) ** 3
+    cells = n ** 3  # dims ARE the interior (S = dims+2) — matches bench.py
     print(f"{n}^3: {best * 1e3:.2f} ms/step, "
           f"{best / (3 * cells) * 1e9:.3f} ns/DOF, "
           f"{cells / best / 1e6:.1f} MLUPS, pois_n={sim.pois_n[-1]}")

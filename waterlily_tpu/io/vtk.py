@@ -165,7 +165,16 @@ def restart_from_vtk(sim, fname: str):
     """Restart a simulation from the last snapshot of a .pvd collection
     (reference `restart_sim!`, ReadVTKExt.jl:28-45): restores p and u,
     resets the time from the file timestamp, re-measures the body, and
-    returns a writer that appends to the same collection."""
+    returns a writer that appends to the same collection.
+
+    Time-step semantics match the reference exactly: the absolute time
+    comes from the file timestamp (the reference writes it into
+    ``Δt[end]``; here it is ``flow.t`` directly) and the NEXT step size is
+    recomputed as ``CFL(u)`` from the restored velocity — the reference
+    does the same (``push!(Δt, CFL(flow))``, ReadVTKExt.jl:40), and an
+    uninterrupted run's next dt is also ``CFL`` of this same ``u``
+    (src/Flow.jl:168), so the first post-restart step reproduces the
+    uninterrupted trajectory (asserted in tests/test_io.py)."""
     root = ET.parse(fname).getroot()
     datasets = root.find("Collection").findall("DataSet")
     last = datasets[-1]

@@ -328,7 +328,8 @@ class Simulation:
             def body_fn(s, _):
                 s, aux = fn(s, levels)
                 return s, (aux["pois_n"], aux["dt"],
-                           aux.get("band_ok", jnp.bool_(True)))
+                           aux.get("band_ok", jnp.bool_(True)),
+                           aux.get("res_trace"))
             return jax.lax.scan(body_fn, state, None, length=n)
 
         # donate the carried state: XLA reuses its buffers in place, halving
@@ -340,13 +341,16 @@ class Simulation:
             # k steps composed into one program (Python unroll, NOT scan):
             # one launch per k steps with none of scan's carry handling
             fn = step_remeasure if remeasure else step_static
-            ps, ds, oks = [], [], []
+            ps, ds, oks, trs = [], [], [], []
             for _ in range(k):
                 state, aux = fn(state, levels)
                 ps.append(aux["pois_n"])
                 ds.append(aux["dt"])
                 oks.append(aux.get("band_ok", jnp.bool_(True)))
-            return state, (jnp.stack(ps), jnp.stack(ds), jnp.stack(oks))
+                if cfg.log:
+                    trs.append(aux["res_trace"])
+            return state, (jnp.stack(ps), jnp.stack(ds), jnp.stack(oks),
+                           jnp.stack(trs) if cfg.log else None)
 
         self._steps_k = jax.jit(steps_k, static_argnums=(2, 3),
                                 donate_argnums=(0,))
@@ -478,9 +482,9 @@ class Simulation:
             banded = remeasure and self.cfg.bbox_shape is not None
 
             def launch():
-                self.flow, (p, d, o) = self._steps_k(
+                self.flow, (p, d, o, tr) = self._steps_k(
                     self.flow, self.levels, k, bool(remeasure))
-                return p, d, o if banded else None
+                return p, d, o if banded else None, tr
 
             self._drive(n // k, k, launch)
             return self.steps(n - n // k * k, remeasure=remeasure)
@@ -490,15 +494,17 @@ class Simulation:
             def launch():
                 self.flow, aux = fn(self.flow, self.levels)
                 ok = aux.get("band_ok")
+                tr = aux.get("res_trace")
                 return (aux["pois_n"][None], aux["dt"][None],
-                        None if ok is None else ok[None])
+                        None if ok is None else ok[None],
+                        None if tr is None else tr[None])
 
             return self._drive(n, 1, launch)
         else:
-            self.flow, (pois_n, dts, oks) = self._scan_steps(
+            self.flow, (pois_n, dts, oks, trs) = self._scan_steps(
                 self.flow, self.levels, n, bool(remeasure))
             # reconstruct host history lazily (single device sync)
-            self._append_history(pois_n, dts)
+            self._append_history(pois_n, dts, trs)
             if not bool(jnp.all(oks)):
                 raise RuntimeError(self._BAND_ERR)
         return self
@@ -507,18 +513,27 @@ class Simulation:
         """Shared accumulation loop for the host-driven stepping paths.
 
         ``launch()`` advances the state by ``k`` steps and returns stacked
-        ``(pois_n, dt, band_ok-or-None)`` rows.  Band coverage is checked
-        every ≥32 accumulated steps over the WHOLE window since the last
-        check (one scalar sync; without it a band that outgrows its window
-        would run every remaining step of the batch on truncated physics),
-        flushing the completed steps' history before raising so ``len(dts)``
-        stays consistent with the advanced state."""
-        rows, dt_rows, ok_rows = [], [], []
+        ``(pois_n, dt, band_ok-or-None, res_trace-or-None)`` rows.  Band
+        coverage is checked every ≥32 accumulated steps over the WHOLE
+        window since the last check (one scalar sync; without it a band
+        that outgrows its window would run every remaining step of the
+        batch on truncated physics), flushing the completed steps' history
+        before raising so ``len(dts)`` stays consistent with the advanced
+        state."""
+        rows, dt_rows, ok_rows, tr_rows = [], [], [], []
         win, since = [], 0
+
+        def _flush():
+            self._append_history(
+                jnp.concatenate(rows), jnp.concatenate(dt_rows),
+                jnp.concatenate(tr_rows) if tr_rows else None)
+
         for _ in range(int(n_launches)):
-            p, d, o = launch()
+            p, d, o, tr = launch()
             rows.append(p)
             dt_rows.append(d)
+            if tr is not None:
+                tr_rows.append(tr)
             if o is not None:
                 ok_rows.append(o)
                 win.append(o)
@@ -527,19 +542,24 @@ class Simulation:
                     bad = not bool(jnp.all(jnp.concatenate(win)))
                     win, since = [], 0
                     if bad:
-                        self._append_history(jnp.concatenate(rows),
-                                             jnp.concatenate(dt_rows))
+                        _flush()
                         raise RuntimeError(self._BAND_ERR)
-        self._append_history(jnp.concatenate(rows), jnp.concatenate(dt_rows))
+        _flush()
         if ok_rows and not bool(jnp.all(jnp.concatenate(ok_rows))):
             raise RuntimeError(self._BAND_ERR)
         return self
 
-    def _append_history(self, pois_n, dts):
+    def _append_history(self, pois_n, dts, res_traces=None):
         for row in np.asarray(pois_n):
             self.pois_n.append(row)
         for dt in np.asarray(dts):
             self.dts.append(float(dt))
+        if res_traces is not None:
+            # one (2, itmx+1, 2) predictor/corrector trace pair per step —
+            # the fast stepping paths capture exactly what step() records
+            # (reference @log is unconditional, src/util.jl:4-24)
+            for tr in np.asarray(res_traces):
+                self.res_log.append(tr)
 
     def run_until(self, t_end, chunk=50, remeasure=True):
         """Integrate to dimensionless time ``t_end`` in `steps()` batches,
