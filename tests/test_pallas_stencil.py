@@ -120,53 +120,9 @@ def test_blocked_mult_with_dot(level_and_fields, block):
     assert np.isclose(float(dot), float(jnp.sum(z_ref * x)), rtol=1e-5)
 
 
-@pytest.mark.parametrize("block", [1, 2, 4])  # 34 % B == 0 required
-def test_stream_mult_matches(level_and_fields, block):
-    """Carried-rows streaming mult (every input row fetched once) equals
-    the XLA operator, including the fused dot and a bf16 operand."""
-    from waterlily_tpu.ops.pallas_stencil import mult3d_stream
-    S, lev, x, r, eps = level_and_fields
-    z_ref = mult(lev, x)
-    z_pl, dot = mult3d_stream(lev.L, lev.D, x, S, interpret=True,
-                              block=block, with_dot=True)
-    assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
-    assert np.isclose(float(dot), float(jnp.sum(z_ref * x)), rtol=1e-5)
-    # bf16 search direction (the smoother's reduced-precision eps)
-    xb = x.astype(jnp.bfloat16)
-    z_ref16 = mult(lev, xb.astype(f32))
-    z_pl16 = mult3d_stream(lev.L, lev.D, xb, S, interpret=True, block=block)
-    assert np.allclose(np.asarray(z_ref16), np.asarray(z_pl16), atol=1e-5)
-    # bf16 coefficient shadows: accumulation and output must stay f32 (the
-    # 'bf16-rounded operator applied in f32 arithmetic' contract)
-    from waterlily_tpu.ops.poisson import _mult_interior_arrays, _diag
-    from waterlily_tpu.grid import pad_interior
-    L16 = lev.L.astype(jnp.bfloat16)
-    D16 = _diag(L16.astype(f32))
-    z_refc = pad_interior(_mult_interior_arrays(L16.astype(f32), D16, x))
-    z_plc = mult3d_stream(L16, D16, x, S, interpret=True, block=block)
-    assert z_plc.dtype == f32
-    assert np.allclose(np.asarray(z_refc), np.asarray(z_plc), atol=1e-5)
-
-
-@pytest.mark.parametrize("block", [2, 4])
-def test_stream_increment_matches(level_and_fields, block):
-    from waterlily_tpu.ops.pallas_stencil import increment3d_stream
-    S, lev, x, r, eps = level_and_fields
-    x_ref, r_ref = increment(lev, x, r, eps)
-    x_pl, r_pl = increment3d_stream(lev.L, lev.D, eps, x, r, S,
-                                    interpret=True, block=block)
-    assert np.allclose(np.asarray(x_ref), np.asarray(x_pl), atol=1e-6)
-    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=1e-5)
-
-
-def test_stream_falls_back_on_indivisible_slab(level_and_fields):
-    """S0=34 is not divisible by 5: the stream entry must route to the
-    halo-row kernel and still be correct."""
-    from waterlily_tpu.ops.pallas_stencil import mult3d_stream
-    S, lev, x, r, eps = level_and_fields
-    z_ref = mult(lev, x)
-    z_pl = mult3d_stream(lev.L, lev.D, x, S, interpret=True, block=5)
-    assert np.allclose(np.asarray(z_ref), np.asarray(z_pl), atol=1e-5)
+# carried-rows streaming kernels: retired to ops/attic.py (measured 40-70%
+# slower than the halo-row kernels; docs/PERF.md round 3) — one interpret
+# parity test each lives in tests/test_attic.py
 
 
 @pytest.mark.parametrize("block", [2, 4, 5])  # 4,5 exercise ragged tails
@@ -434,62 +390,7 @@ def test_bf16_operator_gate_default_off():
     assert make_level(L).L16 is None
 
 
-@pytest.mark.parametrize("block", [1, 2, 5])  # 5 = ragged tail slab
-@pytest.mark.parametrize("bf16", [False, True])
-def test_pcg_blocked_matches_xla(level_and_fields, block, bf16, monkeypatch):
-    """Fused-iteration PCG sweeps (pcg_dir_mult/pcg_update) vs ops.poisson.pcg:
-    same dead-mask algebra, only dot association/FMA contraction differ."""
-    from waterlily_tpu.ops import pallas_stencil as ps
-    from waterlily_tpu.ops.poisson import pcg
-    S, lev, x, r, eps = level_and_fields
-    lev_t = lev.replace(bf16_eps=bf16)
-    x_ref, r_ref = pcg(lev_t, x, r, it=6)
-    monkeypatch.setattr(ps, "block_for_pcgiter", lambda *a, **k: block)
-    x_pl, r_pl = ps.pcg_blocked(lev_t, x, r, it=6, interpret=True)
-    assert x_pl.dtype == x.dtype and r_pl.dtype == r.dtype
-    # f32 is exact to dot-association ulps; bf16 directions sit on rounding
-    # boundaries that the (different) partial-dot association flips, so the
-    # trajectories honestly differ at bf16 precision (~1 ulp = 1/256
-    # relative, measured max 6e-3 at it=6)
-    tol = 2e-2 if bf16 else 2e-5
-    assert np.allclose(np.asarray(x_ref), np.asarray(x_pl), atol=tol)
-    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=tol)
-
-
-def test_pcg_blocked_bf16_shadow_operator(level_and_fields, monkeypatch):
-    """pcg_blocked with the level's L16/D16/iD16 shadows equals the XLA pcg
-    on the same shadowed level (both apply the bf16-rounded A in f32)."""
-    from waterlily_tpu.ops import poisson as pois
-    from waterlily_tpu.ops import pallas_stencil as ps
-    S, lev, x, r, eps = level_and_fields
-    monkeypatch.setattr(ps, "use_blocked", lambda *a, **k: True)
-    lev16 = pois.make_level(lev.L, op_bf16=True).replace(blocked=False)
-    x_ref, r_ref = pois.pcg(lev16, x, r, it=4)
-    x_pl, r_pl = ps.pcg_blocked(lev16, x, r, it=4, interpret=True)
-    # same bf16-rounding-boundary sensitivity as the bf16-direction case
-    assert np.allclose(np.asarray(x_ref), np.asarray(x_pl), atol=2e-2)
-    assert np.allclose(np.asarray(r_ref), np.asarray(r_pl), atol=2e-2)
-
-
-def test_pcg_keeps_per_pass_path(level_and_fields, monkeypatch):
-    """ops.poisson.pcg does NOT dispatch the fused-iteration sweeps: the
-    same-session 256³ A/B measured them 0.968× the per-pass smoother
-    (scripts/ab_pcgiter.py, docs/PERF.md round 4) — retained as a
-    documented negative result, like the carried-rows kernels."""
-    from waterlily_tpu.ops import poisson as pois
-    from waterlily_tpu.ops import pallas_stencil as ps
-    S, lev, x, r, eps = level_and_fields
-    called = {}
-
-    def fake(lv, xx, rr, it):
-        called["hit"] = True
-        return xx, rr
-
-    monkeypatch.setattr(ps, "pcg_blocked", fake)
-    # blocked levels run the per-pass kernels (force interpret on CPU)
-    real_mult = ps.mult3d_pallas
-    monkeypatch.setattr(
-        ps, "mult3d_pallas",
-        lambda *a, **k: real_mult(*a, **{**k, "interpret": True}))
-    pois.pcg(lev.replace(blocked=True), x, r, it=2)
-    assert not called
+# fused-iteration PCG sweeps (pcg_dir_mult/pcg_update/pcg_blocked): retired
+# to ops/attic.py (measured 0.968x at 256^3, scripts/ab_pcgiter.py) — one
+# interpret parity test lives in tests/test_attic.py, which also asserts
+# structurally that nothing in the package imports the attic.

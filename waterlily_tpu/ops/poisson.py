@@ -416,7 +416,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
     dt = x.dtype
     teneps = 10 * jnp.finfo(dt).eps
 
-    # The fused-iteration sweeps (`pallas_stencil.pcg_blocked`: eps rebuild,
+    # The fused-iteration sweeps (`ops.attic.pcg_blocked`: eps rebuild,
     # axpys and both dots inside two blocked kernels, zero full-array XLA
     # passes) are NOT dispatched: the same-session 256³ step A/B measured
     # 0.968× (64.97 → 67.14 ms/step, identical pois_n — scripts/
@@ -424,7 +424,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
     # already fusion-optimal in XLA, and the two-sweep split re-reads the
     # x/r/eps/z streams across sweeps plus halo rows at the VMEM-forced
     # B=1 — the same verdict as the carried-rows streaming kernels.
-    # Retained with interpret-mode tests as documentation.
+    # Retired to ops/attic.py with an interpret-mode parity test.
 
     z = _rid(lev, r)
     eps = z.astype(jnp.bfloat16) if lev.bf16_eps else z
