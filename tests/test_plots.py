@@ -27,6 +27,20 @@ def test_flood_and_body_plot(tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_sim_gif_smoke(tmp_path):
+    """2-frame gif from a tiny circle sim (reference sim_gif!,
+    PlotsExt.jl:41-52) — the one L7 entry point previously untested."""
+    body = AutoBody(lambda x, t: jnp.sqrt(jnp.sum((x - 16.0) ** 2)) - 4)
+    sim = Simulation((32, 32), (1, 0), 8, nu=0.03, body=body,
+                     dtype=jnp.float32)
+    from waterlily_tpu.io.plots import sim_gif
+    out = str(tmp_path / "smoke.gif")
+    got = sim_gif(sim, out, duration=0.02, step=0.01, verbose=False,
+                  plotbody=True)
+    assert got == out and os.path.getsize(out) > 0
+    assert open(out, "rb").read(6) in (b"GIF87a", b"GIF89a")
+
+
 def test_log_captured_by_fast_stepping_paths(tmp_path):
     """`steps()`/`run_until` capture one (predictor, corrector) trace pair
     per completed step, exactly like `step()` (VERDICT r4 weak #3; the
