@@ -219,11 +219,30 @@ def tgv3d_big(L=128):
     from waterlily_tpu.models.cases import tgv_3d
     sim = tgv_3d(L=L, dtype=jnp.float32)
     spp = _steady_step_time(sim, warm=15, steps=30)
-    return {
+    return spp, {
         "metric": f"3D Taylor-Green {L}^3 periodic: ms/step",
         "value": round(spp * 1e3, 2), "unit": "ms/step",
         "mlups": round(L ** 3 / spp / 1e6, 1),
         "baseline": "none (no reference number; tracked round-over-round)",
+    }
+
+
+def tgv_sharded_1dev(L, dense_spp):
+    """The periodic shard_map fast path on real silicon (round-5 verdict
+    item 1): the fully-periodic 3D TGV on a 1-device mesh runs modular
+    wrap halos + per-shard periodic ghost fills (`parallel.halo`) with the
+    one-region solve — the multi-chip configuration of the flagship
+    periodic validation case, on the one available chip."""
+    from waterlily_tpu.models.cases import tgv_3d
+    from waterlily_tpu.parallel.mesh import mesh_for
+    mesh = mesh_for((L + 2,) * 3, 1)
+    sim = tgv_3d(L=L, dtype=jnp.float32, mesh=mesh)
+    spp = _steady_step_time(sim, warm=15, steps=30)
+    return {
+        "metric": f"3D TGV {L}^3 periodic 1-device-mesh shard_map: ms/step",
+        "value": round(spp * 1e3, 2), "unit": "ms/step",
+        "baseline": "self: the dense periodic step in this same bench run",
+        "sharded_over_dense": round(spp / dense_spp, 3),
     }
 
 
@@ -317,6 +336,11 @@ def main():
             dense256["spp"] = spp
             return row
 
+        def tgv256():
+            spp, row = tgv3d_big(256)
+            dense256["tgv_spp"] = spp
+            return row
+
         # the full BASELINE.md benchmark set, recorded every round
         runs = [
             ("3D sphere 256^3", sphere256),
@@ -333,8 +357,10 @@ def main():
             ("2D circle wall", circle_2d_wall),
             ("2D TGV 64^2", lambda: small_config(
                 "2D Taylor-Green 64^2 periodic: ms/step", tgv_2d)),
-            ("3D TGV 128^3", tgv3d_big),
-            ("3D TGV 256^3", lambda: tgv3d_big(256)),
+            ("3D TGV 128^3", lambda: tgv3d_big(128)[1]),
+            ("3D TGV 256^3", tgv256),
+            ("256^3 TGV 1-dev shard_map", lambda: tgv_sharded_1dev(
+                256, dense256.get("tgv_spp", float("nan")))),
             ("2D osc plate", lambda: small_config(
                 "2D oscillating plate (130^2) remeasure: ms/step",
                 oscillating_plate_2d, remeasure=True)),

@@ -460,7 +460,7 @@ def test_conv_diff_threads_pallas_ok_into_shardmap(monkeypatch):
     mesh = mesh_for(S, 8)
     seen = {}
 
-    def spy(mesh_, u_, nu_, limiter_, pallas=None):
+    def spy(mesh_, u_, nu_, limiter_, pallas=None, perdir=()):
         seen["pallas"] = pallas
         return jnp.zeros_like(u_)
 
@@ -763,3 +763,215 @@ def test_sharded_moving_body_banded_measure():
                        atol=3e-3)
     assert np.isclose(float(sim_ref.flow.dt), float(sim_s.flow.dt),
                       rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Periodic directions on the shard_map fast path (round 5): modular wrap
+# halos (halo_exchange perdir=) + per-shard periodic ghost fills
+# (per_fill_local) make every periodic flux/stencil the uniform formula —
+# bitwise the reference's phi_uP wrap + top-face flux copy (src/Flow.jl:7,60)
+# and perBC! ghost fill (src/util.jl:227-231).
+# ---------------------------------------------------------------------------
+
+def test_per_fill_local_matches_bc_scalar_periodic():
+    """Per-shard periodic ghost fill (targeted ppermutes) is bitwise the
+    dense `bc_scalar_periodic` (reference perBC!, src/util.jl:227-231)."""
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.parallel.halo import per_fill_local, spatial_specs
+    from waterlily_tpu.parallel.shard_smooth import get_shard_map
+    from waterlily_tpu.ops.bc import bc_scalar_periodic
+    for S, perdir in [((18, 10, 10), (0,)), ((18, 10, 10), (0, 2)),
+                      ((16, 32), (0, 1))]:
+        D = len(S)
+        a = jax.random.normal(jax.random.PRNGKey(21), S, f32)
+        ref = bc_scalar_periodic(a, perdir)
+        mesh = mesh_for(S, 8)
+        sc, _vec = spatial_specs(mesh, D)
+        fn = get_shard_map()(
+            lambda a_l: per_fill_local(a_l, mesh, S, perdir),
+            mesh=mesh, in_specs=(sc,), out_specs=sc, check_vma=False)
+        out = jax.jit(fn)(a)
+        assert np.array_equal(np.asarray(ref), np.asarray(out)), (S, perdir)
+
+
+@pytest.mark.parametrize("S,perdir", [((32, 32), (0, 1)), ((16, 16, 32), (2,)),
+                                      ((32, 16, 16), (0, 1, 2))])
+def test_shardmap_conv_diff_periodic_matches_dense(S, perdir):
+    """conv_diff with modular wrap halos equals the dense periodic tendency
+    (phi_uP far-upwind wrap + top-face flux copy) on sharded AND unsharded
+    periodic axes."""
+    from waterlily_tpu.parallel.shard_smooth import (shardmap_conv_diff,
+                                                     can_shardmap)
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.convect import conv_diff, quick
+    from waterlily_tpu.ops.bc import bc_vector
+    D = len(S)
+    u = jax.random.normal(jax.random.PRNGKey(22), (D,) + S, f32)
+    # both paths share the step's contract: ghosts periodic-filled by BC
+    u = bc_vector(u, (0.0,) * D, False, perdir)
+    r_ref = jax.jit(lambda u: conv_diff(u, 0.01, perdir, quick, False))(u)
+    mesh = mesh_for(S, 8)
+    assert can_shardmap(mesh, S, perdir)
+    r_s = jax.jit(lambda u: shardmap_conv_diff(mesh, u, 0.01, quick,
+                                               perdir=perdir))(u)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5), \
+        (S, perdir)
+
+
+def test_shardmap_conv_diff_periodic_pallas_interpret():
+    """The modular periodic branch of the blocked conv kernel (uniform
+    periodic formula, no wrap refs) under shard_map — interpret mode."""
+    from waterlily_tpu.parallel.shard_smooth import shardmap_conv_diff
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.convect import conv_diff, quick
+    from waterlily_tpu.ops.bc import bc_vector
+    S = (32, 16, 16)
+    perdir = (0, 1, 2)
+    u = jax.random.normal(jax.random.PRNGKey(23), (3,) + S, f32)
+    u = bc_vector(u, (0.0, 0.0, 0.0), False, perdir)
+    r_ref = jax.jit(lambda u: conv_diff(u, 0.01, perdir, quick, False))(u)
+    mesh = mesh_for(S, 8)
+    r_s = shardmap_conv_diff(mesh, u, 0.01, quick, pallas="interpret",
+                             perdir=perdir)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)
+
+
+@pytest.mark.parametrize("perdir", [(0,), (0, 1, 2)])
+def test_shardmap_pcg_periodic_matches_dense(perdir):
+    """The shard_map PCG smoother on periodic levels (per_fill_local ghost
+    fill inside the matvec) equals the dense smoother."""
+    from waterlily_tpu.parallel.shard_smooth import shardmap_pcg, can_shardmap
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.ops.poisson import make_level, pcg, residual
+    S = (32, 16, 16)
+    key = jax.random.PRNGKey(24)
+    L = jnp.abs(jax.random.normal(key, (3,) + S, f32)) * 0.2 + 0.5
+    lev = make_level(L, perdir)
+    x = jnp.zeros(S, f32)
+    z = jax.random.normal(key, S, f32) * 1e-2
+    r = residual(lev, x, z)
+    x_ref, r_ref = jax.jit(lambda l, x, r: pcg(l, x, r))(lev, x, r)
+    mesh = mesh_for(S, 8)
+    assert can_shardmap(mesh, S, perdir)
+    lev_s = lev.replace(mesh=mesh, sharded=True)
+    x_s, r_s = jax.jit(lambda l, x, r: shardmap_pcg(l, x, r))(lev_s, x, r)
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_s), atol=1e-6)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-6)
+
+
+def test_shard_solve_periodic_matches_dense():
+    """shardmap_ml_solve on fully-periodic levels: same iteration count,
+    matching fields, periodic ghosts of x filled like the dense solve's
+    final perBC."""
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.parallel.shard_solve import shardmap_ml_solve
+    from waterlily_tpu.ops.multigrid import ml_solve
+    from waterlily_tpu.flow import div
+    from waterlily_tpu.grid import mask_interior
+    perdir = (0, 1, 2)
+    cfg = FlowConfig(D=3, S=(18, 18, 18), U=(0.0, 0.0, 0.0), nu=0.01,
+                     dtype=f32, perdir=perdir)
+
+    def ulam(i, x):
+        k = 2 * jnp.pi / 18
+        if i == 0:
+            return jnp.sin(k * x[0]) * jnp.cos(k * x[1])
+        if i == 1:
+            return -jnp.cos(k * x[0]) * jnp.sin(k * x[1])
+        return jnp.zeros_like(x[0])
+
+    state = flow_init(cfg, ulam)
+    levels = build_levels(state.mu0, perdir)
+    z = jax.jit(div)(state.u)
+    x0 = 0.25 * mask_interior(
+        jax.random.normal(jax.random.PRNGKey(25), cfg.S, f32))
+    x_ref, r_ref, n_ref = jax.jit(
+        lambda l, x, z: ml_solve(l, x, z))(levels, x0, z)
+
+    mesh = mesh_for(cfg.S, 8)
+    levs = tuple(l.replace(mesh=mesh, sharded=True) for l in levels)
+    x_s, r_s, n_s = jax.jit(
+        lambda l, x, z: shardmap_ml_solve(l, x, z))(levs, x0, z)
+    assert int(n_s) == int(n_ref)
+    assert np.allclose(np.asarray(x_ref), np.asarray(x_s), atol=1e-5)
+    assert np.allclose(np.asarray(r_ref), np.asarray(r_s), atol=1e-5)
+
+
+@pytest.mark.parametrize("pallas", ["off", "interpret"])
+def test_shard_step_region_periodic_matches_dense(pallas):
+    """The ONE-region whole step on a fully-periodic config (3D TGV) matches
+    the dense mom_step — the multi-chip fast path for the flagship periodic
+    validation case."""
+    from waterlily_tpu.parallel.mesh import mesh_for
+    from waterlily_tpu.parallel import mesh as pmesh
+    from waterlily_tpu.parallel import shard_step as sstep
+    from waterlily_tpu.parallel.shard_step import (shardmap_mom_step,
+                                                   can_shard_step)
+    perdir = (0, 1, 2)
+    cfg = FlowConfig(D=3, S=(18, 18, 18), U=(0.0, 0.0, 0.0), nu=0.005,
+                     dtype=f32, perdir=perdir)
+    k = 2 * jnp.pi / 18
+
+    def ulam(i, x):
+        if i == 0:
+            return jnp.sin(k * x[0]) * jnp.cos(k * x[1]) * jnp.cos(k * x[2])
+        if i == 1:
+            return -jnp.cos(k * x[0]) * jnp.sin(k * x[1]) * jnp.cos(k * x[2])
+        return jnp.zeros_like(x[0])
+
+    state = flow_init(cfg, ulam)
+    levels = build_levels(state.mu0, perdir)
+    ref, aux_ref = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
+
+    mesh = mesh_for(cfg.S, 8)
+    old = pmesh.SHARDMAP_MIN_CELLS
+    old_flag = sstep.WHOLE_STEP_REGION
+    try:
+        pmesh.SHARDMAP_MIN_CELLS = 0
+        sstep.WHOLE_STEP_REGION = True
+        levs = tuple(l.replace(mesh=mesh, sharded=True) for l in levels)
+        assert can_shard_step(cfg._replace(sharded=True), levs)
+        out, aux = jax.jit(
+            lambda s, l: shardmap_mom_step(cfg._replace(sharded=True),
+                                           l, s, pallas=pallas))(state, levs)
+    finally:
+        pmesh.SHARDMAP_MIN_CELLS = old
+        sstep.WHOLE_STEP_REGION = old_flag
+    assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
+    assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
+    assert np.isclose(float(ref.dt), float(out.dt), rtol=1e-6)
+    assert list(map(int, aux["pois_n"])) == \
+        list(map(int, aux_ref["pois_n"]))
+
+
+def test_sharded_periodic_step_dispatch():
+    """A sharded fully-periodic step routed through the per-phase fast paths
+    (shardmap conv_diff + one-region solve) matches the dense step."""
+    from waterlily_tpu.parallel import mesh as pmesh
+    from waterlily_tpu.parallel.mesh import mesh_for
+    perdir = (0, 1, 2)
+    cfg = FlowConfig(D=3, S=(18, 18, 18), U=(0.0, 0.0, 0.0), nu=0.01,
+                     dtype=f32, perdir=perdir)
+    k = 2 * jnp.pi / 18
+
+    def ulam(i, x):
+        if i == 0:
+            return jnp.sin(k * x[0]) * jnp.cos(k * x[1]) * jnp.cos(k * x[2])
+        if i == 1:
+            return -jnp.cos(k * x[0]) * jnp.sin(k * x[1]) * jnp.cos(k * x[2])
+        return jnp.zeros_like(x[0])
+
+    state = flow_init(cfg, ulam)
+    levels = build_levels(state.mu0, perdir)
+    ref, aux_ref = jax.jit(lambda s, l: mom_step(cfg, l, s))(state, levels)
+    old = pmesh.SHARDMAP_MIN_CELLS
+    try:
+        pmesh.SHARDMAP_MIN_CELLS = 0
+        mesh = mesh_for(cfg.S, 8)
+        step = sharded_step_fn(cfg, mesh)
+        out, aux = step(state, levels)
+    finally:
+        pmesh.SHARDMAP_MIN_CELLS = old
+    assert np.allclose(np.asarray(ref.u), np.asarray(out.u), atol=1e-5)
+    assert np.allclose(np.asarray(ref.p), np.asarray(out.p), atol=1e-4)
+    assert list(map(int, aux["pois_n"])) == list(map(int, aux_ref["pois_n"]))

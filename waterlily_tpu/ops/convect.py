@@ -58,7 +58,7 @@ def vanleer(u, c, d):
 
 
 def conv_core(up, S_out: tuple, S_glob: tuple, base, nu, perdir: tuple,
-              limiter, u_wrap=None) -> jax.Array:
+              limiter, u_wrap=None, modular: bool = False) -> jax.Array:
     """Gather-form conv_diff tendency on a window of the global grid.
 
     ``up`` is the (component-lead) velocity window padded by 2 on every
@@ -67,7 +67,16 @@ def conv_core(up, S_out: tuple, S_glob: tuple, base, nu, perdir: tuple,
     traced — the shard_map path derives it from `axis_index`).  The global
     path calls this with ``S_out == S_glob`` and ``base = 0``.  ``u_wrap``
     supplies the unpadded global array for periodic far-upwind wraps
-    (global path only — the sharded dispatch excludes periodic dirs).
+    (global path).
+
+    ``modular`` (shard_map path): ``up``'s pad planes hold MODULAR wrap
+    values on periodic axes (`parallel.halo.halo_exchange` perdir= — global
+    position ``-m`` ≡ interior plane ``S-2-m``, ``S-1+m`` ≡ ``1+m``) and
+    the in-array ghost planes hold periodic copies, so periodic fluxes are
+    the UNIFORM periodic formula with no index switches: the face-1
+    far-upwind tap at position -1 IS plane S-3 (ϕuP), and the top face's
+    flux evaluated from {S-3, S-2, S-1≡1, S≡2} is bitwise face 1's flux
+    (identical values, identical expression — reference src/Flow.jl:7,60).
     """
     D = len(S_out)
 
@@ -97,7 +106,12 @@ def conv_core(up, S_out: tuple, S_glob: tuple, base, nu, perdir: tuple,
                        for i in range(D)], axis=0)
         kf = gidx(j) + s   # global face index at each cell position
         cd = 0.5 * (f + fm1)
-        if periodic:
+        if periodic and modular:
+            # modular pad planes already hold the wrap values (see the
+            # docstring): the plain periodic formula needs no switches
+            pos = limiter(fm2, fm1, f)
+            neg = limiter(fp1, f, fm1)
+        elif periodic:
             # ϕuP: face 1's far-upwind point wraps to interior plane S-3
             wrap_sl = tuple(slice(S_glob[d] - 3, S_glob[d] - 2) if d == j
                             else slice(None) for d in range(D))
@@ -114,9 +128,11 @@ def conv_core(up, S_out: tuple, S_glob: tuple, base, nu, perdir: tuple,
         periodic = j in perdir
         Fk = face_flux(j, 0, periodic)
         Fk1 = face_flux(j, 1, periodic)
-        if periodic:
+        if periodic and not modular:
             # upperBoundary! Val{true}: the top face flux (face S-1, seen as
-            # face k+1 of cell S-2) copies face 1's flux (Flow.jl:60)
+            # face k+1 of cell S-2) copies face 1's flux (Flow.jl:60).
+            # The modular path needs no copy: Fk1 at cell S-2 already
+            # evaluates the same expression on the same wrapped values.
             k = gidx(j)
             face1 = tuple(slice(1, 2) if d == j else slice(None)
                           for d in range(D))
@@ -159,14 +175,15 @@ def conv_diff(u: jax.Array, nu, perdir: tuple = (), limiter=quick,
         from .pallas_stencil import use_blocked, conv_diff3d_pallas
         if use_blocked(S, u.dtype, sharded):
             return conv_diff3d_pallas(u, nu, limiter, S, perdir=perdir)
-    if sharded and mesh is not None and not perdir:
+    if sharded and mesh is not None:
         from ..parallel.shard_smooth import can_shardmap, shardmap_conv_diff
         if can_shardmap(mesh, S, perdir):
             # pallas_ok=False must reach the per-shard kernel dispatch too:
             # a reverse-AD program would otherwise hit a vjp-less Mosaic
             # call inside the shard_map region on real TPU meshes
             return shardmap_conv_diff(mesh, u, nu, limiter,
-                                      pallas=None if pallas_ok else "off")
+                                      pallas=None if pallas_ok else "off",
+                                      perdir=perdir)
     # single zero-padded buffer: every stencil read below is a slice of
     # this.  The pad planes are never *selected* (boundary faces take the
     # cd / periodic-wrap branches and the write mask clips the rest), so a

@@ -637,7 +637,7 @@ def _supp(S_glob, shape, j, base_ref):
 
 
 def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
-                      base_ref, *refs):
+                      modular, base_ref, *refs):
     """All three sweeps for ONE output component ``i``.
 
     The 4-kernel split reads the velocity window once per kernel (~38
@@ -648,15 +648,19 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
     array geometry; ``S_glob``/``base_ref`` give the global-grid sizes and
     this array's global offset (equal to S / zeros for whole-grid calls).
 
-    ``perdir`` selects periodic flux variants (reference src/Flow.jl:7,60;
-    whole-grid calls only): face 1's far-upwind tap wraps to interior plane
-    ``S-3`` (ϕuP) and the top face's flux is a copy of face 1's.  Ghost
-    planes of ``u`` are assumed periodic-filled by the caller's BC (the
-    same contract as the XLA `conv_core`).  Along axis 0 the face-1 flux
-    of the copy lives in a different slab, so it is recomputed from six
-    fixed-global-row inputs (``fix_refs``).
+    ``perdir`` selects periodic flux variants (reference src/Flow.jl:7,60):
+    face 1's far-upwind tap wraps to interior plane ``S-3`` (ϕuP) and the
+    top face's flux is a copy of face 1's.  Ghost planes of ``u`` are
+    assumed periodic-filled by the caller's BC (the same contract as the
+    XLA `conv_core`).  Whole-grid calls: along axis 0 the face-1 flux of
+    the copy lives in a different slab, so it is recomputed from six
+    fixed-global-row inputs (``fix_refs``).  Shard-local calls
+    (``modular``): the array's pad planes hold the modular wrap values
+    (`parallel.halo.halo_exchange` perdir=), so periodic fluxes are the
+    UNIFORM periodic formula — no wrap refs, no copy (see conv_core's
+    docstring for the bitwise-equivalence argument).
     """
-    n_fix = 6 if 0 in perdir else 0
+    n_fix = 6 if 0 in perdir and not modular else 0
     out_ref = refs[-1]
     fix_refs = refs[len(refs) - 1 - n_fix:len(refs) - 1]
     wins = {}
@@ -681,7 +685,20 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
     else:
         wshift0 = lambda o: tap(0, o - 1)
 
-    if 0 in perdir:
+    if 0 in perdir and modular:
+        # modular pad rows already hold the wrap values: plain periodic
+        # formula, sequential evaluation as in the non-periodic branch
+        def flux0m(s):
+            f, fm1 = tap(i, s), tap(i, s - 1)
+            w = 0.5 * (tap(0, s) + wshift0(s))
+            pos = limiter(tap(i, s - 2), fm1, f)
+            neg = limiter(tap(i, s + 1), f, fm1)
+            return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+        supp0m = _supp(S_glob, sh, 0, base_ref)
+        acc = jnp.where(supp0m, flux0m(0), 0.0)
+        acc = acc - jnp.where(supp0m, flux0m(1), 0.0)
+    elif 0 in perdir:
         wrap0 = fix_refs[0][0, 0:1]           # comp i, interior plane S-3
         r0, r1, r2 = (fix_refs[m][0, 0:1] for m in (1, 2, 3))  # rows 0,1,2
         w0a, w0b = fix_refs[4][0, 0:1], fix_refs[5][0, 0:1]    # u0 rows 0,1
@@ -743,6 +760,18 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
 
         fi = tap(i, 0)
 
+        if j in perdir and modular:
+            # modular pad planes hold the wrap values: uniform formula
+            def fluxpm(s):
+                f, fm1 = roll(fi, s), roll(fi, s - 1)
+                w = 0.5 * (roll(uj, s) + ws(s))
+                pos = limiter(roll(fi, s - 2), fm1, f)
+                neg = limiter(roll(fi, s + 1), f, fm1)
+                return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
+
+            acc = acc + jnp.where(supp, fluxpm(0), 0.0)
+            acc = acc - jnp.where(supp, fluxpm(1), 0.0)
+            continue
         if j in perdir:
             # whole planes live in VMEM: the ϕuP wrap is an in-block slice
             wrap_pl = jax.lax.slice_in_dim(fi, S[j] - 3, S[j] - 2, axis=j)
@@ -795,7 +824,8 @@ def _comp_bases(i, B):
 
 
 def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
-                       block=None, S_glob=None, base=None, perdir=()):
+                       block=None, S_glob=None, base=None, perdir=(),
+                       modular=False):
     """Full conv_diff: one all-sweeps kernel per component.
 
     ``S_glob``/``base`` support shard_map-local calls: ``u`` is then a
@@ -805,16 +835,18 @@ def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
     the output.  Defaults: whole grid (S_glob=S, base=0).
 
     ``perdir`` selects the periodic flux variants (ϕuP wrap + top-face flux
-    copy, reference src/Flow.jl:7,60) — whole-grid calls only (the wrap
-    plane and face-1 flux are global positions; `can_shardmap` keeps
-    periodic directions off the shard_map path)."""
+    copy, reference src/Flow.jl:7,60).  Whole-grid calls read the wrap
+    rows via fixed-row BlockSpecs; shard-local calls must pass
+    ``modular=True`` with a halo extension whose pad planes hold the
+    modular wrap values (`parallel.halo.halo_exchange` perdir=) — the
+    kernel then uses the uniform periodic formula with no wrap inputs."""
     dtype = u.dtype
     B = BLOCK_CDF if block is None else block
     G = pl.cdiv(S[0], B)
     if S_glob is None:
         S_glob = S
-    assert not (perdir and base is not None), (
-        "periodic conv kernel is whole-grid only")
+    assert modular or not (perdir and base is not None), (
+        "shard-local periodic conv calls must use modular wrap halos")
     if base is None:
         base = jnp.zeros((1, 3), jnp.int32)
     else:
@@ -842,7 +874,7 @@ def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
             for m in range(nrows):
                 specs.append(crow(c, boff + m))
                 args.append(u)
-        if 0 in perdir:
+        if 0 in perdir and not modular:
             for c, row_ in [(i, S[0] - 3), (i, 0), (i, 1), (i, 2),
                             (0, 0), (0, 1)]:
                 specs.append(frow(c, row_))
@@ -856,7 +888,7 @@ def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
                   if (perdir and not interpret) else None)
         comps.append(pl.pallas_call(
             partial(_conv_comp_kernel, S, S_glob, B, nu, limiter, dtype, i,
-                    bases, perdir),
+                    bases, perdir, modular),
             grid=(G,),
             in_specs=specs,
             out_specs=slab,

@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..grid import axis_coord
 
 __all__ = ["halo_exchange", "shardmap_mult", "spatial_specs",
-           "shift_up", "ghost_mask_local", "get_shard_map"]
+           "shift_up", "ghost_mask_local", "get_shard_map",
+           "per_fill_local"]
 
 
 def get_shard_map():
@@ -92,7 +93,7 @@ def ghost_mask_local(mesh: Mesh, S, loc_shape):
     return m
 
 
-def halo_exchange(x_local, mesh: Mesh, D: int, width: int = 1):
+def halo_exchange(x_local, mesh: Mesh, D: int, width: int = 1, perdir=()):
     """Grow every spatial axis of a shard_map-local block by ``width`` planes.
 
     Sharded axes receive the neighbouring shards' edge planes via
@@ -102,6 +103,17 @@ def halo_exchange(x_local, mesh: Mesh, D: int, width: int = 1):
     for interior outputs.  ``width=2`` serves the QUICK convection stencil
     (reads ``I-2δ``, reference src/Flow.jl:6).  Must be called inside
     `shard_map`.
+
+    ``perdir`` axes get MODULAR wrap halos that skip the 2-plane ghost
+    band: global position ``-m`` holds interior plane ``S-2-m`` and
+    ``S-1+m`` holds plane ``1+m``.  Combined with periodic-filled ghost
+    planes (``per_fill_local`` / the step's BC), every flux/stencil tap of
+    a periodic direction then reads the value the reference's ϕuP wrap and
+    top-face flux copy would produce (src/Flow.jl:7,60) with NO global
+    switches: the face-1 far-upwind tap at position -1 IS plane S-3, and
+    the top-face flux evaluated from {S-3, S-2, S-1≡1, S≡2} reproduces
+    face 1's flux bitwise (identical input values, identical expression).
+    Costs one extra 2-edge ppermute per sharded periodic axis.
     """
     lead = x_local.ndim - D
     for k, (name, n_shards) in enumerate(_axis_shards(mesh, D)):
@@ -109,20 +121,78 @@ def halo_exchange(x_local, mesh: Mesh, D: int, width: int = 1):
         n = x_local.shape[axis]
         lo = jax.lax.slice_in_dim(x_local, 0, width, axis=axis)
         hi = jax.lax.slice_in_dim(x_local, n - width, None, axis=axis)
+        periodic = k in perdir
         if n_shards > 1:
             fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
             bwd = [((i + 1) % n_shards, i) for i in range(n_shards)]
             from_below = jax.lax.ppermute(hi, name, fwd)   # shard i-1's top
             from_above = jax.lax.ppermute(lo, name, bwd)   # shard i+1's bottom
             idx = jax.lax.axis_index(name)
-            from_below = jnp.where(idx == 0, 0.0, from_below)
-            from_above = jnp.where(idx == n_shards - 1, 0.0, from_above)
+            if periodic:
+                # wrap planes skip the ghost band: the top shard sends its
+                # planes [n-2-width, n-2) to shard 0 and shard 0 sends
+                # [2, 2+width) to the top shard (needs local blocks >= 2 +
+                # width on periodic axes — gated by `can_shardmap`)
+                wlo = jax.lax.ppermute(
+                    jax.lax.slice_in_dim(x_local, n - 2 - width, n - 2,
+                                         axis=axis),
+                    name, [(n_shards - 1, 0)])
+                whi = jax.lax.ppermute(
+                    jax.lax.slice_in_dim(x_local, 2, 2 + width, axis=axis),
+                    name, [(0, n_shards - 1)])
+                from_below = jnp.where(idx == 0, wlo, from_below)
+                from_above = jnp.where(idx == n_shards - 1, whi, from_above)
+            else:
+                from_below = jnp.where(idx == 0, 0.0, from_below)
+                from_above = jnp.where(idx == n_shards - 1, 0.0, from_above)
+        elif periodic:
+            from_below = jax.lax.slice_in_dim(x_local, n - 2 - width, n - 2,
+                                              axis=axis)
+            from_above = jax.lax.slice_in_dim(x_local, 2, 2 + width,
+                                              axis=axis)
         else:
             from_below = jnp.zeros_like(lo)
             from_above = jnp.zeros_like(hi)
         x_local = jnp.concatenate([from_below, x_local, from_above],
                                   axis=axis)
     return x_local
+
+
+def per_fill_local(a, mesh: Mesh, S, perdir, lead: int = 0):
+    """Periodic ghost fill on a shard_map-local block (reference ``perBC!``,
+    src/util.jl:227-231; the `bc_scalar_periodic` analog): for each axis in
+    ``perdir``, global ghost plane 0 := plane S-2 and plane S-1 := plane 1.
+    Sharded axes move each source plane with one targeted `ppermute`;
+    unsharded axes copy locally.  Applied per axis in ``perdir`` order on
+    the current values — identical sequencing to the dense fill, so ghost
+    corners agree exactly.  Must be called inside `shard_map`."""
+    D = len(S)
+    ax = _axis_shards(mesh, D)
+    for d in perdir:
+        name, k = ax[d]
+        axis = lead + d
+        n = a.shape[axis]
+        if k > 1:
+            idx = jax.lax.axis_index(name)
+            # plane S-2 lives on the top shard (local n-2); ghost 0 on shard 0
+            src_hi = jax.lax.slice_in_dim(a, n - 2, n - 1, axis=axis)
+            recv0 = jax.lax.ppermute(src_hi, name, [(k - 1, 0)])
+            # plane 1 lives on shard 0 (local 1); ghost S-1 on the top shard
+            src_lo = jax.lax.slice_in_dim(a, 1, 2, axis=axis)
+            recvN = jax.lax.ppermute(src_lo, name, [(0, k - 1)])
+            row0 = jnp.where(idx == 0, recv0,
+                             jax.lax.slice_in_dim(a, 0, 1, axis=axis))
+            rowN = jnp.where(idx == k - 1, recvN,
+                             jax.lax.slice_in_dim(a, n - 1, n, axis=axis))
+        else:
+            row0 = jax.lax.slice_in_dim(a, n - 2, n - 1, axis=axis)
+            rowN = jax.lax.slice_in_dim(a, 1, 2, axis=axis)
+        a = jnp.concatenate(
+            [row0, jax.lax.slice_in_dim(a, 1, n - 1, axis=axis), rowN],
+            axis=axis)
+    return a
+
+
 
 
 def shardmap_mult(mesh: Mesh, L, Dd, x):

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from .halo import (halo_exchange, _axis_shards, spatial_specs, shift_up,
-                   ghost_mask_local, get_shard_map)
+                   ghost_mask_local, get_shard_map, per_fill_local)
 
 __all__ = ["shardmap_pcg", "can_shardmap", "local_mult", "prep_local_op",
            "shardmap_increment", "shardmap_residual", "pcg_local",
@@ -45,17 +45,25 @@ def _spatial_names(mesh: Mesh):
 
 
 def can_shardmap(mesh: Mesh | None, S: tuple, perdir: tuple) -> bool:
-    """Gate for the shard_map smoother: a mesh whose shard counts divide
+    """Gate for the shard_map fast paths: a mesh whose shard counts divide
     the level shape evenly (shard_map requires exact divisibility, unlike
-    GSPMD's padded sharding), and no periodic directions (periodic ghost
-    fills would need wrap-around halo plumbing; GSPMD handles those)."""
-    if mesh is None or perdir:
+    GSPMD's padded sharding).  Periodic directions are supported via
+    `per_fill_local` ghost fills + modular wrap halos (`halo_exchange`
+    perdir=); a sharded periodic axis additionally needs local blocks of
+    at least 4 planes so the width-2 wrap window [2, 4) / [B-4, B-2)
+    stays clear of the ghost band."""
+    if mesh is None:
         return False
     names = _spatial_names(mesh)
     if not names:
         return False
-    return all(S[k] % mesh.shape[names[k]] == 0
-               for k in range(min(len(names), len(S))))
+    for k in range(min(len(names), len(S))):
+        n_sh = mesh.shape[names[k]]
+        if S[k] % n_sh != 0:
+            return False
+        if k in perdir and n_sh > 1 and S[k] // n_sh < 4:
+            return False
+    return True
 
 
 def prep_local_op(mesh: Mesh, L_l, Dd_l, D: int, pallas: str):
@@ -81,7 +89,8 @@ def prep_local_op(mesh: Mesh, L_l, Dd_l, D: int, pallas: str):
     return [shift_up(L_l[i], i, mesh, ax) for i in range(D)]
 
 
-def local_mult(mesh: Mesh, S, L_l, Dd_l, op, x_l, mask, pallas: str = "off"):
+def local_mult(mesh: Mesh, S, L_l, Dd_l, op, x_l, mask, pallas: str = "off",
+               perdir: tuple = ()):
     """A·x on a shard's local block after one halo-exchange round.
 
     ``op`` is `prep_local_op`'s output for this level (shared by every
@@ -89,8 +98,14 @@ def local_mult(mesh: Mesh, S, L_l, Dd_l, op, x_l, mask, pallas: str = "off"):
     (CPU/virtual-mesh), 'compiled' / 'interpret' = the blocked streaming
     kernel on the halo'd local block (Mosaic on real TPU chips; interpret
     mode exercises the same composition on the virtual CPU mesh in tests).
+    Periodic directions fill the global ghost planes first (the dense
+    ``mult``'s `bc_scalar_periodic`, src/Poisson.jl:62-75 + perBC) — after
+    the fill every boundary-adjacent stencil tap is an in-block read, so
+    the zero edge halos stay unread exactly as in the wall case.
     """
     D = x_l.ndim
+    if perdir:
+        x_l = per_fill_local(x_l, mesh, S, perdir)
     xh = halo_exchange(x_l, mesh, D)
     if pallas != "off":
         from ..ops.pallas_stencil import mult3d_pallas
@@ -114,7 +129,7 @@ def local_mult(mesh: Mesh, S, L_l, Dd_l, op, x_l, mask, pallas: str = "off"):
 
 
 def pcg_local(mesh: Mesh, S, L_l, Dd_l, iD_l, x_l, r_l, it: int,
-              pallas: str, bf16: bool = False, op=None):
+              pallas: str, bf16: bool = False, op=None, perdir: tuple = ()):
     """PCG smoother body on a shard's local block (must run inside a
     shard_map region).  Same algebra as `ops.poisson.pcg` with the
     dead-mask early exits; dots are per-shard partials + psum."""
@@ -127,6 +142,8 @@ def pcg_local(mesh: Mesh, S, L_l, Dd_l, iD_l, x_l, r_l, it: int,
         op = prep_local_op(mesh, L_l, Dd_l, D, pallas)
 
     def matvec(eps_l):
+        # eps is per-filled at the loop top (dense pcg's bc_scalar_periodic
+        # position) — no refill inside the matvec
         return local_mult(mesh, S, L_l, Dd_l, op,
                           eps_l.astype(dt), mask, pallas)
 
@@ -141,6 +158,11 @@ def pcg_local(mesh: Mesh, S, L_l, Dd_l, iD_l, x_l, r_l, it: int,
     rho = gdot(r_l, z)
     dead = jnp.abs(rho) < teneps
     for i in range(it):
+        if perdir:
+            # fill BEFORE the axpy too: dense pcg's x += alpha*eps uses the
+            # filled eps, so x's periodic ghosts carry the same (benign)
+            # pollution — full-array parity with `ops.poisson.pcg`
+            eps = per_fill_local(eps, mesh, S, perdir)
         z = matvec(eps)
         denom = gdot(z, eps.astype(dt))
         alpha = jnp.where(dead | (denom == 0), 0.0,
@@ -180,7 +202,7 @@ def shardmap_pcg(lev, x, r, it: int = 6, pallas: str | None = None):
 
     def local(L_l, Dd_l, iD_l, x_l, r_l):
         return pcg_local(mesh, S, L_l, Dd_l, iD_l, x_l, r_l, it, pallas,
-                         bf16=lev.bf16_eps)
+                         bf16=lev.bf16_eps, perdir=lev.perdir)
 
     fn = get_shard_map()(local, mesh=mesh,
                          in_specs=(vec, sc, sc, sc, sc),
@@ -214,7 +236,7 @@ def shardmap_increment(lev, x, r, eps, pallas: str | None = None):
     the prolongate-increment, reference src/Poisson.jl:99-113) run the same
     per-shard blocked kernel + halo protocol as `shardmap_pcg`, so a sharded
     step's whole smoother ladder is kernel-tier.  ``eps`` must be ghost-zero
-    (non-periodic only — `can_shardmap` gates out perdir)."""
+    (the matvec fills periodic ghosts itself, like the dense `increment`)."""
     mesh = lev.mesh
     D = x.ndim
     S = x.shape
@@ -223,7 +245,8 @@ def shardmap_increment(lev, x, r, eps, pallas: str | None = None):
         pallas = _auto_pallas(mesh, S, x.dtype)
 
     def local(L_l, Dd_l, x_l, r_l, eps_l):
-        return increment_local(mesh, S, L_l, Dd_l, x_l, r_l, eps_l, pallas)
+        return increment_local(mesh, S, L_l, Dd_l, x_l, r_l, eps_l, pallas,
+                               perdir=lev.perdir)
 
     fn = get_shard_map()(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
                          out_specs=(sc, sc), check_vma=False)
@@ -231,13 +254,13 @@ def shardmap_increment(lev, x, r, eps, pallas: str | None = None):
 
 
 def increment_local(mesh: Mesh, S, L_l, Dd_l, x_l, r_l, eps_l, pallas: str,
-                    op=None):
+                    op=None, perdir: tuple = ()):
     """``x += eps; r -= A·eps`` on a local block (inside shard_map)."""
     D = x_l.ndim
     mask = ghost_mask_local(mesh, S, x_l.shape)
     if op is None:
         op = prep_local_op(mesh, L_l, Dd_l, D, pallas)
-    ae = local_mult(mesh, S, L_l, Dd_l, op, eps_l, mask, pallas)
+    ae = local_mult(mesh, S, L_l, Dd_l, op, eps_l, mask, pallas, perdir)
     return x_l + eps_l, r_l - ae
 
 
@@ -254,7 +277,8 @@ def shardmap_residual(lev, x, z, pallas: str | None = None):
         pallas = _auto_pallas(mesh, S, x.dtype)
 
     def local(L_l, Dd_l, iD_l, x_l, z_l):
-        return residual_local(mesh, S, L_l, Dd_l, iD_l, x_l, z_l, pallas)
+        return residual_local(mesh, S, L_l, Dd_l, iD_l, x_l, z_l, pallas,
+                              perdir=lev.perdir)
 
     fn = get_shard_map()(local, mesh=mesh, in_specs=(vec, sc, sc, sc, sc),
                          out_specs=sc, check_vma=False)
@@ -262,7 +286,7 @@ def shardmap_residual(lev, x, z, pallas: str | None = None):
 
 
 def residual_local(mesh: Mesh, S, L_l, Dd_l, iD_l, x_l, z_l, pallas: str,
-                   op=None):
+                   op=None, perdir: tuple = ()):
     """Body-masked, mean-corrected ``r = z - A·x`` on a local block."""
     from ..grid import inside_count
     D = x_l.ndim
@@ -273,14 +297,15 @@ def residual_local(mesh: Mesh, S, L_l, Dd_l, iD_l, x_l, z_l, pallas: str,
     mask = ghost_mask_local(mesh, S, x_l.shape)
     if op is None:
         op = prep_local_op(mesh, L_l, Dd_l, D, pallas)
-    ax_l = local_mult(mesh, S, L_l, Dd_l, op, x_l, mask, pallas)
+    ax_l = local_mult(mesh, S, L_l, Dd_l, op, x_l, mask, pallas, perdir)
     r_int = jnp.where(mask & (iD_l != 0), z_l - ax_l, 0.0).astype(dt)
     s = jax.lax.psum(jnp.sum(r_int), names) / cnt
     corr = jnp.where(jnp.abs(s) <= teps, 0.0, s).astype(dt)
     return jnp.where(mask, r_int - corr, 0.0).astype(dt)
 
 
-def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
+def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None,
+                       perdir: tuple = ()):
     """conv_diff with explicit collectives: width-2 ppermute halos (QUICK
     reads ``I-2δ``, reference src/Flow.jl:6) and per-shard flux evaluation
     with global-index boundary masks.
@@ -289,17 +314,17 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
     halo-extended local block (``pallas='compiled'``, the default on real
     TPU meshes when the block is kernel-sized; 'interpret' exercises the
     composition on the virtual CPU mesh; 'off' = the XLA gather-form
-    core).  Non-periodic only (the `conv_diff` dispatch falls back to
-    GSPMD for periodic directions).  Together with `shardmap_pcg` this
-    covers both hot loops of the step with the kernel tier + source-
-    visible communication.
+    core).  Periodic directions ride MODULAR wrap halos (`halo_exchange`
+    perdir=): the halo planes hold the ghost-band-skipping wrap values, so
+    the per-shard flux is the uniform periodic formula — bitwise the
+    reference's ϕuP wrap + top-face flux copy (src/Flow.jl:7,60; see the
+    halo_exchange docstring for the equivalence).  Together with
+    `shardmap_pcg` this covers both hot loops of the step with the kernel
+    tier + source-visible communication.
     """
-    from ..ops.convect import conv_core
-
     D = u.shape[0]
     S = u.shape[1:]
     sc, vec = spatial_specs(mesh, D)
-    ax = _axis_shards(mesh, D)
     if pallas is None:
         from ..ops.pallas_stencil import use_blocked
         loc = _local_shape(mesh, S)
@@ -310,22 +335,25 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None):
                   else "off")
 
     def local(u_l):
-        return conv_diff_local(mesh, S, u_l, nu, limiter, pallas)
+        return conv_diff_local(mesh, S, u_l, nu, limiter, pallas, perdir)
 
     fn = get_shard_map()(local, mesh=mesh, in_specs=(vec,), out_specs=vec,
                    check_vma=False)
     return fn(u)
 
 
-def conv_diff_local(mesh: Mesh, S, u_l, nu, limiter, pallas: str):
+def conv_diff_local(mesh: Mesh, S, u_l, nu, limiter, pallas: str,
+                    perdir: tuple = ()):
     """conv_diff tendency on a shard's local block (inside shard_map):
-    width-2 ppermute halos + per-shard blocked kernels with global-index
-    boundary masks (``base`` offsets)."""
+    width-2 ppermute halos (modular wrap on periodic axes) + per-shard
+    blocked kernels with global-index boundary masks (``base`` offsets).
+    ``u_l``'s ghost planes must be periodic-filled on entry (the step's BC
+    maintains this — the same contract as the dense path)."""
     from ..ops.convect import conv_core
     D = u_l.shape[0]
     loc = u_l.shape[1:]
     ax = _axis_shards(mesh, D)
-    uh = halo_exchange(u_l, mesh, D, width=2)
+    uh = halo_exchange(u_l, mesh, D, width=2, perdir=perdir)
     base = tuple(
         (jax.lax.axis_index(name) * (S[d] // k) if k > 1 else 0)
         for d, (name, k) in enumerate(ax))
@@ -334,6 +362,7 @@ def conv_diff_local(mesh: Mesh, S, u_l, nu, limiter, pallas: str):
         r_ext = conv_diff3d_pallas(
             uh, nu, limiter, uh.shape[1:], S_glob=S,
             base=jnp.stack([jnp.int32(b) - 2 for b in base]),
+            perdir=perdir, modular=True,
             interpret=(pallas == "interpret"))
         return r_ext[(slice(None),) + (slice(2, -2),) * D]
-    return conv_core(uh, loc, S, base, nu, (), limiter)
+    return conv_core(uh, loc, S, base, nu, perdir, limiter, modular=True)

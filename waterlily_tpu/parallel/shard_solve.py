@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .halo import halo_exchange, _axis_shards, spatial_specs, \
-    ghost_mask_local, get_shard_map
+    ghost_mask_local, get_shard_map, per_fill_local
 from .shard_smooth import (can_shardmap, prep_local_op, pcg_local,
                            increment_local, residual_local, _auto_pallas,
                            _spatial_names)
@@ -49,8 +49,9 @@ __all__ = ["shardmap_ml_solve", "can_shard_solve", "replicate_level",
 
 
 def can_shard_solve(levels, trace: bool = False) -> bool:
-    """Gate: fine level carries an evenly-dividing mesh, non-periodic, no
-    residual-trace capture (the trace rows stay on the per-phase path)."""
+    """Gate: fine level carries an evenly-dividing mesh (periodic dirs ride
+    `per_fill_local` ghost fills — see `can_shardmap`), and no residual-
+    trace capture (the trace rows stay on the per-phase path)."""
     fine = levels[0]
     return (fine.mesh is not None and not trace
             and can_shardmap(fine.mesh, fine.D.shape, fine.perdir))
@@ -160,13 +161,14 @@ def prolongate_local(mesh: Mesh, S, xc):
 
 def ml_solve_local(mesh: Mesh, S, fL, fD, fiD, coarse_l, x_l, z_l,
                    tol=1e-4, itmx=32, fixed=None, pallas="off",
-                   it_smooth=6, op=None):
+                   it_smooth=6, op=None, perdir: tuple = ()):
     """`ml_solve` body on a shard's local fine block (must run inside a
     shard_map region).  ``coarse_l`` are the REPLICATED coarser levels
     (see `replicate_level`); ``op`` optionally shares `prep_local_op`'s
     output with the caller (the whole-step region reuses the halo'd L for
     its projection kernel).  Returns ``(x_l, r_l, n)`` with ``n``
-    replicated-identical across shards."""
+    replicated-identical across shards and ``x_l``'s periodic ghosts
+    filled (the dense solve's final `bc_scalar_periodic`)."""
     from ..ops.multigrid import vcycle as plain_vcycle
     from ..ops.poisson import smooth as plain_smooth
 
@@ -181,7 +183,7 @@ def ml_solve_local(mesh: Mesh, S, fL, fD, fiD, coarse_l, x_l, z_l,
     def vcycle_local(x_l, r_l):
         # Jacobi pre-smooth on the fine level (src/Poisson.jl:110-113)
         x_l, r_l = increment_local(mesh, S, fL, fD, x_l, r_l,
-                                   r_l * fiD, pallas, op=op)
+                                   r_l * fiD, pallas, op=op, perdir=perdir)
         rc = restrict_replicated(mesh, S, r_l)
         xc = jnp.zeros_like(coarse_l[0].D)
         if len(coarse_l) > 1:
@@ -189,18 +191,21 @@ def ml_solve_local(mesh: Mesh, S, fL, fD, fiD, coarse_l, x_l, z_l,
         xc, rc = plain_smooth(coarse_l[0], xc, rc, it_smooth)
         eps_l = prolongate_local(mesh, S, xc)
         return increment_local(mesh, S, fL, fD, x_l, r_l, eps_l,
-                               pallas, op=op)
+                               pallas, op=op, perdir=perdir)
 
     def outer(x_l, r_l):
         x_l, r_l = vcycle_local(x_l, r_l)
         return pcg_local(mesh, S, fL, fD, fiD, x_l, r_l, it_smooth,
-                         pallas, bf16=False, op=op)
+                         pallas, bf16=False, op=op, perdir=perdir)
 
-    r_l = residual_local(mesh, S, fL, fD, fiD, x_l, z_l, pallas, op=op)
+    r_l = residual_local(mesh, S, fL, fD, fiD, x_l, z_l, pallas, op=op,
+                         perdir=perdir)
 
     if fixed is not None:
         for _ in range(fixed):
             x_l, r_l = outer(x_l, r_l)
+        if perdir:
+            x_l = per_fill_local(x_l, mesh, S, perdir)
         return x_l, r_l, jnp.int32(fixed)
 
     def cond(c):
@@ -216,6 +221,8 @@ def ml_solve_local(mesh: Mesh, S, fL, fD, fiD, coarse_l, x_l, z_l,
 
     x_l, r_l, n, _r2, _ = jax.lax.while_loop(
         cond, body, (x_l, r_l, jnp.int32(0), gdot2(r_l), False))
+    if perdir:
+        x_l = per_fill_local(x_l, mesh, S, perdir)
     return x_l, r_l, n
 
 
@@ -240,7 +247,8 @@ def shardmap_ml_solve(levels, x, z, tol=1e-4, itmx=32, fixed=None):
 
     def local(fL, fD, fiD, coarse_l, x_l, z_l):
         return ml_solve_local(mesh, S, fL, fD, fiD, coarse_l, x_l, z_l,
-                              tol=tol, itmx=itmx, fixed=fixed, pallas=pallas)
+                              tol=tol, itmx=itmx, fixed=fixed, pallas=pallas,
+                              perdir=fine.perdir)
 
     fn = get_shard_map()(local, mesh=mesh,
                          in_specs=(vec, sc, sc, coarse_specs, sc, sc),

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .halo import halo_exchange, _axis_shards, spatial_specs, \
-    ghost_mask_local, get_shard_map
+    ghost_mask_local, get_shard_map, per_fill_local
 from .shard_smooth import (can_shardmap, conv_diff_local, _auto_pallas,
                            _spatial_names)
 from .shard_solve import ml_solve_local, replicate_level
@@ -56,7 +56,8 @@ WHOLE_STEP_REGION = False
 
 def can_shard_step(cfg, levels) -> bool:
     """Gate for the one-region step: an evenly-dividing mesh on the fine
-    level, non-periodic, and none of the paths that must stay on GSPMD —
+    level (periodic dirs supported — see `can_shardmap`), and none of the
+    paths that must stay on GSPMD —
     residual-trace capture (``log``), reverse-AD unrolling
     (``fixed_iters`` — Mosaic has no vjp), the implicit-diff step (its
     pre/post sweeps must stay XLA for the same reason)."""
@@ -82,22 +83,25 @@ def _base_of(mesh: Mesh, S, D):
          else jnp.int32(0)) for d, (name, k) in enumerate(ax)])
 
 
-def bc_vector_local(mesh: Mesh, S, u_l, A, save_exit=False, pallas="off"):
-    """Reference ``BC!`` (util.jl:192-210) on a local block, non-periodic.
+def bc_vector_local(mesh: Mesh, S, u_l, A, save_exit=False, pallas="off",
+                    perdir: tuple = ()):
+    """Reference ``BC!`` (util.jl:192-210) on a local block.
 
-    ``pallas != 'off'`` (3D): the fused one-sweep BC kernel with GLOBAL-
-    index selects (`bc3d_pallas` base offsets) — ghost sources come from
-    the block's local rows 1 / loc-2, which hold the global boundary rows
-    exactly on the shards that own the ghosts.  Fallback: the same
-    sequential stage semantics as the DUS chain (component-major,
+    ``pallas != 'off'`` (3D, non-periodic): the fused one-sweep BC kernel
+    with GLOBAL-index selects (`bc3d_pallas` base offsets) — ghost sources
+    come from the block's local rows 1 / loc-2, which hold the global
+    boundary rows exactly on the shards that own the ghosts.  Fallback:
+    the same sequential stage semantics as the DUS chain (component-major,
     direction-minor; each stage reads the previous stage's values) as
     global-index where-selects, with `jnp.roll` providing the one-cell
     sources (ghost and source always share a shard — blocks are ≥2 cells
-    wide — and rolled wrap garbage is never selected).  Both forms are
+    wide — and rolled wrap garbage is never selected); periodic directions
+    fill ghost planes with `per_fill_local` ppermutes in the same stage
+    position as the dense chain's periodic branch.  Both forms are
     bitwise-equal to `ops.bc.bc_vector`'s chain."""
     D = u_l.shape[0]
     loc = u_l.shape[1:]
-    if pallas != "off" and D == 3:
+    if pallas != "off" and D == 3 and not perdir:
         from ..ops.pallas_stencil import bc3d_pallas
         return bc3d_pallas(u_l, A, save_exit, S_glob=S,
                            base=_base_of(mesh, S, D),
@@ -107,6 +111,9 @@ def bc_vector_local(mesh: Mesh, S, u_l, A, save_exit=False, pallas="off"):
         v = u_l[i]
         Ai = jnp.asarray(A[i], u_l.dtype)
         for j in range(D):
+            if j in perdir:
+                v = per_fill_local(v, mesh, S, (j,))
+                continue
             g = _gidx(mesh, S, loc, j)
             if i == j:
                 hi = (g == S[j] - 1)
@@ -261,7 +268,8 @@ def shardmap_mom_step(cfg, levels, state, pallas: str | None = None):
                 x = p * dt_eff
             x, _r, n = ml_solve_local(mesh, S, fL, fD, fiD, coarse_l, x, z,
                                       tol=cfg.tol, itmx=cfg.itmx,
-                                      pallas=pallas, op=op)
+                                      pallas=pallas, op=op,
+                                      perdir=cfg.perdir)
             if pallas != "off":
                 Lh, _Dh = op
                 xh = halo_exchange(x, mesh, D)
@@ -273,24 +281,26 @@ def shardmap_mom_step(cfg, levels, state, pallas: str | None = None):
             return u, x / dt_eff, n
 
         # predictor u -> u'
-        r = conv_diff_local(mesh, S, u, cfg.nu, cfg.limiter, pallas)
+        r = conv_diff_local(mesh, S, u, cfg.nu, cfg.limiter, pallas,
+                            cfg.perdir)
         r = accelerate(r, t, cfg.g, cfg.U, dtype)
         blend = _bdim_blend_local(mesh, S, u, r, V, mu0, mu1, dt)
         u1 = jnp.where(gmask[None], blend, u)      # scale_u!(a,0) + BDIM!
-        u1 = bc_vector_local(mesh, S, u1, U, cfg.exitBC)
+        u1 = bc_vector_local(mesh, S, u1, U, cfg.exitBC, perdir=cfg.perdir)
         if cfg.exitBC:
             u1 = exit_bc_local(mesh, S, u1, u, U, dt)
         u1, p, n1 = solve_project(u1, p, dt)
-        u1 = bc_vector_local(mesh, S, u1, U, cfg.exitBC)
+        u1 = bc_vector_local(mesh, S, u1, U, cfg.exitBC, perdir=cfg.perdir)
 
         # corrector u -> u¹
-        r = conv_diff_local(mesh, S, u1, cfg.nu, cfg.limiter, pallas)
+        r = conv_diff_local(mesh, S, u1, cfg.nu, cfg.limiter, pallas,
+                            cfg.perdir)
         r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
         blend = _bdim_blend_local(mesh, S, u, r, V, mu0, mu1, dt)
         u2 = jnp.where(gmask[None], 0.5 * (u1 + blend), u1)
-        u2 = bc_vector_local(mesh, S, u2, U, cfg.exitBC)
+        u2 = bc_vector_local(mesh, S, u2, U, cfg.exitBC, perdir=cfg.perdir)
         u2, p, n2 = solve_project(u2, p, 0.5 * dt)
-        u2 = bc_vector_local(mesh, S, u2, U, cfg.exitBC)
+        u2 = bc_vector_local(mesh, S, u2, U, cfg.exitBC, perdir=cfg.perdir)
 
         dt_new = _cfl_local(mesh, S, u2, cfg.nu)
         return u2, p, dt_new, jnp.stack([n1, n2])
