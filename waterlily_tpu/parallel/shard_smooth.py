@@ -40,6 +40,15 @@ __all__ = ["shardmap_pcg", "can_shardmap", "local_mult", "prep_local_op",
            "increment_local", "residual_local", "conv_diff_local"]
 
 
+# Per-shard dispatch override for the conv regions only (None = size/backend
+# auto).  "off" makes the conv regions MOSAIC-FREE: on the v5e tunnel every
+# shard_map region containing a Mosaic call carries a ~10 ms fixed cost
+# (docs/PERF.md round 4) while regions without Mosaic are free, so the XLA
+# gather-form core inside the region can beat the blocked kernel + region
+# tax.  A/B'd step-level in scripts/ab_conv_region.py.
+CONV_PALLAS: str | None = None
+
+
 def _spatial_names(mesh: Mesh):
     return tuple(n for n in mesh.axis_names if n != "r")
 
@@ -325,6 +334,8 @@ def shardmap_conv_diff(mesh: Mesh, u, nu, limiter, pallas: str | None = None,
     D = u.shape[0]
     S = u.shape[1:]
     sc, vec = spatial_specs(mesh, D)
+    if pallas is None:
+        pallas = CONV_PALLAS
     if pallas is None:
         from ..ops.pallas_stencil import use_blocked
         loc = _local_shape(mesh, S)
