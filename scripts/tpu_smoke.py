@@ -107,6 +107,16 @@ def kernel_checks():
         check(f"bc3d_pallas bitwise perdir={perdir} save_exit={save_exit}",
               bool(jnp.all(b_ref == b_pl)))
 
+    # 4b. CFL partial-max reduction kernel (round 5) — bitwise
+    from waterlily_tpu.flow import cfl
+    from waterlily_tpu.ops.pallas_stencil import cfl3d_pallas
+    nu = 0.05
+    c_ref = jax.jit(lambda u: cfl(u, nu))(u)
+    c_pl = jax.jit(lambda u: jnp.minimum(
+        jnp.float32(10.0), 1.0 / (cfl3d_pallas(u, S) + 5 * nu)))(u)
+    check("cfl3d_pallas bitwise", bool(c_ref == c_pl),
+          f"dt={float(c_pl):.6g}")
+
     # 5. fused projection + divergence
     dt = jnp.float32(0.37)
     upd = jax.jit(lambda l, x: pad_interior(

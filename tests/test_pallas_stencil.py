@@ -394,3 +394,44 @@ def test_bf16_operator_gate_default_off():
 # to ops/attic.py (measured 0.968x at 256^3, scripts/ab_pcgiter.py) — one
 # interpret parity test lives in tests/test_attic.py, which also asserts
 # structurally that nothing in the package imports the attic.
+
+
+@pytest.mark.parametrize("block", [1, 4, 5])
+def test_cfl3d_pallas_bitwise(block):
+    """Blocked CFL partial-max reduction: max is association-free and the
+    per-term algebra matches flow.cfl, so the dt is bitwise-equal."""
+    from waterlily_tpu.flow import cfl
+    from waterlily_tpu.ops.pallas_stencil import cfl3d_pallas
+    S = (18, 34, 34)
+    u = jax.random.normal(jax.random.PRNGKey(7), (3,) + S, f32)
+    nu = 0.04
+    ref = cfl(u, nu)
+    mx = cfl3d_pallas(u, S, interpret=True, block=block)
+    got = jnp.minimum(jnp.asarray(10.0, f32), 1.0 / (mx + 5 * nu))
+    assert float(ref) == float(got)
+
+
+def test_fdot_dispatch_gates(monkeypatch):
+    """fdot uses the kernel only on blocked levels; the KDOT knob and
+    non-blocked levels keep grid.field_dot (GSPMD-safe)."""
+    from waterlily_tpu.ops import poisson
+    S = (10, 10, 10)
+    L = bc_vector(jnp.ones((3,) + S, f32), (0.0,) * 3)
+    lev = make_level(L)
+    assert not lev.blocked  # CPU: use_blocked is False
+    r = jnp.zeros(S, f32).at[2, 3, 4].set(1.5)
+    assert float(poisson.fdot(lev, r, r)) == 2.25
+    called = {}
+
+    def boom(*a, **k):
+        called["hit"] = True
+        raise AssertionError("kernel dot must not dispatch here")
+
+    monkeypatch.setattr("waterlily_tpu.ops.attic.dot3d_pallas", boom)
+    poisson.fdot(lev, r, r)
+    lev_b = lev.replace(blocked=True)
+    monkeypatch.setattr(poisson, "KDOT", False)
+    poisson.fdot(lev_b, r, r)
+    assert "hit" not in called
+
+

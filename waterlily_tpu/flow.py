@@ -190,9 +190,25 @@ def project(levels, u, p, dt_eff, cfg):
     return u, p, (n, tr)
 
 
-def cfl(u, nu, dt_max=10.0):
-    """Adaptive time step (reference `CFL`/`flux_out`, src/Flow.jl:172-182)."""
+CFL_PALLAS = True  # A/B knob (scripts/ab_reduce.py); kernel is bitwise-equal
+
+
+def cfl(u, nu, dt_max=10.0, pallas_ok=False):
+    """Adaptive time step (reference `CFL`/`flux_out`, src/Flow.jl:172-182).
+
+    ``pallas_ok`` routes the reduction through `cfl3d_pallas` on big
+    unsharded 3D TPU grids: XLA's pad+max fusion over the tiled 258³
+    stream measures ~150 GB/s (4.1 ms/step — round-5 device profile),
+    ~8× the one-pass cost; the kernel's partial-max form is
+    bitwise-equal (max is association-free, same per-term algebra)."""
     D = u.shape[0]
+    if pallas_ok and CFL_PALLAS and D == 3:
+        from .ops.pallas_stencil import use_blocked, cfl3d_pallas
+        S = u.shape[1:]
+        if use_blocked(S, u.dtype):
+            mx = cfl3d_pallas(u, S)
+            return jnp.minimum(jnp.asarray(dt_max, u.dtype),
+                               1.0 / (mx + 5 * nu))
     s = None
     for i in range(D):
         t = (jnp.maximum(0.0, interior_view(u[i], D, _off(D, i, +1)))
@@ -250,7 +266,7 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     u, p, (n2, tr2) = project(levels, u, p, 0.5 * dt, cfg)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
 
-    dt_new = cfl(u, cfg.nu)
+    dt_new = cfl(u, cfg.nu, pallas_ok=fok)
     new = state._replace(u=u, p=p, dt=dt_new, t=t + dt)
     aux = {"pois_n": jnp.stack([n1, n2]), "dt": dt_new}
     if cfg.log:

@@ -19,6 +19,17 @@ the numbers; VERDICT r4 weak #5 moved them out of the hot module):
    (B+2)/B re-read tax costs no wall time, while the cross-step scratch
    dependency defeats Mosaic's double-buffered overlap.
 
+3. **Round-5 solver-dot reduction kernels** (`dot3d_pallas`,
+   `pcg_axpy_pallas`): standalone blocked dots (incl. the fused
+   ``mode='rid'`` ⟨r, r∘iD⟩ that re-reads r/iD instead of materializing
+   the product) and the axpy-pair+next-rho sweep.  Both LOST their 256³
+   step A/Bs (scripts/ab_reduce.py: rid dots +1.9 ms/step, the axpy
+   sweep +7.3 ms/step over XLA's fused multiply_reduce/elementwise
+   forms) — in-program Mosaic reduce calls only pay when they ride an
+   already-streaming stencil kernel (the matvec's ``with_dot``), never
+   standalone.  Dispatch remains wired in `ops.poisson` behind
+   ``KDOT``/``KAXPY`` (both False) for A/B reproducibility.
+
 Each family keeps one interpret-mode parity test (tests/test_attic.py); the
 architectures remain the reference implementations of "fused iteration" and
 "each-row-once" streaming should a future runtime shift the trade-offs.
@@ -412,3 +423,102 @@ def increment3d_stream(L, Dd, eps, x, r, S, interpret=False, block=None):
     )(eps, L[0], L[1], L[2], Dd, r)
     return x + eps, ro
 
+
+
+# --- round-5 solver-dot reduction kernels (retired) ------------------------
+
+BLOCK_RED = 8
+
+
+def _dot_kernel(S, B, mode, *refs):
+    mask = _ghost_mask(S, B, jnp.bool_)
+    if mode == "aa":
+        a_ref, out_ref = refs
+        v = a_ref[...]
+        v = v * v
+    elif mode == "rid":
+        # Σ a·(a·b) — the PCG rho/rho2 = ⟨r, r∘iD⟩ WITHOUT materializing
+        # the elementwise product (XLA's multiply_reduce fuses it too;
+        # a kernel that takes the product as an operand forces an extra
+        # full-array write + read — measured +4.6 ms/step, ab_reduce.py).
+        # Same multiply order as z2 = r*iD; rho2 = Σ r*z2.
+        a_ref, b_ref, out_ref = refs
+        a = a_ref[...]
+        # b may be the level's bf16 iD16 shadow: upcast in registers, the
+        # same promotion XLA applies in `_rid`'s r * iD16
+        v = a * (a * b_ref[...].astype(a.dtype))
+    else:
+        a_ref, b_ref, out_ref = refs
+        v = a_ref[...] * b_ref[...].astype(a_ref.dtype)
+    out_ref[...] = jnp.sum(jnp.where(mask, v, 0.0)).reshape(1, 1, 1)
+
+
+def dot3d_pallas(a, b, S, interpret=False, block=None, mode=None):
+    """Interior dot via per-slab partials: ⟨a, b⟩ (``mode=None``), the
+    one-stream ⟨a, a⟩ (``b is a``), or ``mode='rid'`` ⟨a, a∘b⟩ (PCG's
+    rho against the Jacobi-preconditioned residual, product unwritten).
+    Operands must be ghost-zero (the solver's residual/search streams
+    are): the kernel masks the ghost band — which also guards the ragged
+    tail slab — so the result equals `grid.field_dot` exactly up to sum
+    association."""
+    if mode is None:
+        mode = "aa" if b is a else "ab"
+    B = BLOCK_RED if block is None else block
+    G = pl.cdiv(S[0], B)
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
+    one = mode == "aa"
+    part = pl.pallas_call(
+        partial(_dot_kernel, S, B, mode),
+        grid=(G,),
+        in_specs=[slab] if one else [slab, slab],
+        out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, 1, 1), a.dtype),
+        interpret=interpret,
+    )(*((a,) if one else (a, b)))
+    return jnp.sum(part)
+
+
+def _axpy_rid_kernel(S, B, x_ref, e_ref, r_ref, z_ref, iD_ref, upd_ref,
+                     xo_ref, ro_ref, d_ref):
+    upd = upd_ref[0, 0]
+    x = x_ref[...]
+    xo_ref[...] = x + upd * e_ref[...].astype(x.dtype)
+    rn = r_ref[...] - upd * z_ref[...]
+    ro_ref[...] = rn
+    mask = _ghost_mask(S, B, jnp.bool_)
+    v = rn * (rn * iD_ref[...].astype(rn.dtype))
+    d_ref[...] = jnp.sum(jnp.where(mask, v, 0.0)).reshape(1, 1, 1)
+
+
+def pcg_axpy_pallas(x, r, eps, z, iD, upd, interpret=False, block=None):
+    """The PCG iteration's axpy pair + next rho in ONE streaming sweep:
+    ``x' = x + upd·eps``, ``r' = r − upd·z``, ``rho2 = ⟨r', r'∘iD⟩``.
+
+    In-kernel reduces attached to an already-streaming kernel are cheap
+    (the matvec's `with_dot` denominator); only STANDALONE Mosaic dots
+    lose to XLA's fused multiply_reduce (ab_reduce.py).  This fuses the
+    two axpy fusions with the rho2 reduce — one read of each stream
+    (783→677 MB/iteration at 258³) and the reduce rides along.  ``eps``
+    may be bf16 (upcast in registers, XLA's own promotion); ``upd`` is
+    the dead-masked scalar step."""
+    dtype = x.dtype
+    S = x.shape
+    B = BLOCK_RED if block is None else block
+    G = pl.cdiv(S[0], B)
+    slab = pl.BlockSpec((B, S[1], S[2]), lambda i: (i, 0, 0))
+    upd_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret
+                else pl.BlockSpec())
+    xo, ro, part = pl.pallas_call(
+        partial(_axpy_rid_kernel, S, B),
+        grid=(G,),
+        in_specs=[slab, slab, slab, slab, slab, upd_spec],
+        out_specs=[slab, slab, pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct(S, dtype),
+                   jax.ShapeDtypeStruct(S, dtype),
+                   jax.ShapeDtypeStruct((G, 1, 1), dtype)],
+        input_output_aliases={0: 0, 2: 1},
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None),
+    )(x, eps, r, z, iD, jnp.reshape(upd.astype(dtype), (1, 1)))
+    return xo, ro, jnp.sum(part)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..grid import interior, interior_view, field_dot, pad_interior
 from .bc import bc_vector, bc_scalar_periodic
-from .poisson import make_level, residual, jacobi, smooth, increment
+from .poisson import make_level, residual, jacobi, smooth, increment, fdot
 
 __all__ = ["n_levels", "coarse_shape", "restrict", "restrict_L", "prolongate",
            "build_levels", "update_levels", "vcycle", "ml_solve",
@@ -272,7 +272,7 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
         x, r, n, r2p, _, tr = c
         x, r = vcycle(levels, 0, x, r)
         x, r = smooth(fine, x, r)
-        r2 = field_dot(r, r)
+        r2 = fdot(fine, r, r)
         # divergence safeguard: a healthy outer iteration never doubles
         # r·r (floored solves bounce ≤1.2×; runaway smoothing jumps ≥49×
         # — scripts/solve_local.py hardware traces).  Exiting here bounds
@@ -285,7 +285,7 @@ def ml_solve(levels: tuple, x, z, tol=1e-4, itmx=32, trace=False, fixed=None):
         return (x, r, n + 1, r2, stop, tr)
 
     x, r, n, r2, _, tr = jax.lax.while_loop(
-        cond, body, (x, r, jnp.int32(0), field_dot(r, r), False, tr))
+        cond, body, (x, r, jnp.int32(0), fdot(fine, r, r), False, tr))
     x = bc_scalar_periodic(x, fine.perdir)
     if trace:
         return x, r, n, tr

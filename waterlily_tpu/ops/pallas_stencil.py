@@ -228,6 +228,61 @@ def use_blocked(S, dtype, sharded: bool = False) -> bool:
             and math.prod(S) >= MIN_CELLS and S[0] >= 2 * BLOCK)
 
 
+# --- blocked CFL reduction kernel ------------------------------------------
+#
+# XLA's CFL max reduction over the tiled (3,258³) stream measures well
+# below the streaming kernels' bandwidth in the very same program
+# (round-5 device profile, docs/PERF.md); this kernel streams tall slabs
+# (no stencil halo state, so B can be 4× the matvecs') and emits one
+# partial max per slab — the final max over the tiny (G,1,1) partial
+# array stays in XLA.  The ANALOGOUS solver-dot kernels are retired to
+# `ops.attic` (standalone Mosaic reduces and the fused axpy+rho sweep
+# both measured SLOWER than XLA's fused multiply_reduce — ab_reduce.py).
+
+BLOCK_CFL = 4  # 3 comps × B rows + 1 halo row ≈ 5.3 MB ≤ the VMEM budget
+
+
+def _cfl_kernel(S, B, u_ref, u0d_ref, out_ref):
+    mask = _ghost_mask(S, B, jnp.bool_)
+    u0, u1, u2 = u_ref[0], u_ref[1], u_ref[2]
+    if B == 1:
+        u0p = u0d_ref[0]
+    else:
+        u0p = jnp.concatenate([u0[1:], u0d_ref[0]], axis=0)
+    zero = jnp.zeros((), u0.dtype)
+    # identical association to flow.cfl's  s = t0; s += t1; s += t2
+    s = jnp.maximum(zero, u0p) + jnp.maximum(zero, -u0)
+    s = s + (jnp.maximum(zero, _sub_roll(u1, 1)) + jnp.maximum(zero, -u1))
+    s = s + (jnp.maximum(zero, _lane_roll(u2, 1)) + jnp.maximum(zero, -u2))
+    out_ref[...] = jnp.max(jnp.where(mask, s, 0.0)).reshape(1, 1, 1)
+
+
+def cfl3d_pallas(u, S, interpret=False, block=None):
+    """max over interior of the CFL flux-out sum (flow.cfl's reduction,
+    reference src/Flow.jl:172-182) via per-slab partial maxes.
+
+    The +δ taps are one down halo row (axis 0) and in-slab rolls whose
+    wrap rows land outside the interior mask; ``max`` is association-free
+    and the per-term algebra matches `flow.cfl`, so the result is
+    bitwise-equal to the XLA form (asserted in tests)."""
+    B = BLOCK_CFL if block is None else block
+    G = pl.cdiv(S[0], B)
+    part = pl.pallas_call(
+        partial(_cfl_kernel, S, B),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((3, B, S[1], S[2]), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((1, 1, S[1], S[2]),
+                         lambda i: (0, jnp.minimum(i * B + B, S[0] - 1),
+                                    0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, 1, 1), u.dtype),
+        interpret=interpret,
+    )(u, u)
+    return jnp.max(part)
+
+
 
 # --- fused boundary-condition kernel (big 3D, single-device) ---------------
 #
@@ -823,6 +878,48 @@ def _comp_bases(i, B):
     return dict(sorted(bases.items()))
 
 
+CONV_MERGED = True  # A/B knob (scripts/ab_reduce.py): one kernel, 3 comps
+
+
+class _AccOut:
+    """Output shim so `_conv_all_kernel` can drive `_conv_comp_kernel`'s
+    body per component and collect the slab instead of storing it."""
+
+    def __setitem__(self, idx, v):
+        self.v = v
+
+
+def _conv_all_kernel(S, S_glob, B, nu, limiter, dtype, perdir, modular,
+                     base_ref, *refs):
+    """All three output components in ONE kernel.
+
+    Each velocity component's full row window (−2..B+1 relative to the
+    slab) is fetched once and shared by the three per-component sweeps —
+    the 3-kernel split re-fetches the cross-component rows per kernel
+    (25 row reads per grid row at B=1 vs 15 here) and hands XLA three
+    separate outputs whose `jnp.stack` materializes as a ~2 ms fusion at
+    258³.  The flux algebra is `_conv_comp_kernel`'s own body, driven
+    per component with window views (bitwise-identical expressions)."""
+    n_fix = 14 if 0 in perdir and not modular else 0
+    out_ref = refs[-1]
+    fix = refs[len(refs) - 1 - n_fix:len(refs) - 1]
+    rows = refs[:len(refs) - 1 - n_fix]
+    per = B + 4
+    for i in range(3):
+        bases = _comp_bases(i, B)
+        virt = []
+        for c, (boff, nrows) in bases.items():
+            first = boff + 2   # offset into comp c's fetched (−2..) window
+            for m in range(nrows):
+                virt.append(rows[c * per + first + m])
+        fx = ([fix[4 * i], fix[4 * i + 1], fix[4 * i + 2], fix[4 * i + 3],
+               fix[12], fix[13]] if n_fix else [])
+        acc = _AccOut()
+        _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases,
+                          perdir, modular, base_ref, *virt, *fx, acc)
+        out_ref[i, :, :, :] = acc.v
+
+
 def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
                        block=None, S_glob=None, base=None, perdir=(),
                        modular=False):
@@ -866,6 +963,39 @@ def conv_diff3d_pallas(u, nu, limiter, S, interpret=False,
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret \
         else pl.BlockSpec()
     slab = pl.BlockSpec((B, S[1], S[2]), lambda g: (g, 0, 0))
+    if CONV_MERGED:
+        # one kernel for ALL THREE components: each comp's full row window
+        # is fetched once and shared (15 row reads + 3 writes per grid row
+        # at B=1 vs the split's 25 + 3), and the stacked (3,S) output is
+        # written directly — the jnp.stack below otherwise materializes as
+        # a separate ~2 ms full-array fusion at 258³ (the round-5 device
+        # profile's pad_maximum/concatenate fusions).
+        specs, args = [base_spec], [base]
+        for c in range(3):
+            for m in range(B + 4):
+                specs.append(crow(c, -2 + m))
+                args.append(u)
+        if 0 in perdir and not modular:
+            for i in range(3):
+                for row_ in (S[0] - 3, 0, 1, 2):
+                    specs.append(frow(i, row_))
+                    args.append(u)
+            for row_ in (0, 1):
+                specs.append(frow(0, row_))
+                args.append(u)
+        params = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+                  if not interpret else None)
+        return pl.pallas_call(
+            partial(_conv_all_kernel, S, S_glob, B, nu, limiter, dtype,
+                    perdir, modular),
+            grid=(G,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((3, B, S[1], S[2]),
+                                   lambda g: (0, g, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((3,) + S, dtype),
+            interpret=interpret,
+            compiler_params=params,
+        )(*args)
     comps = []
     for i in range(3):
         bases = _comp_bases(i, B)

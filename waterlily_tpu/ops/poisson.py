@@ -406,6 +406,48 @@ def jacobi(lev: PoissonLevel, x, r, it: int = 1):
     return x, r
 
 
+# Blocked-kernel solver dots: measured LOSS at 256³ and shipped OFF.
+# XLA's multiply_reduce fusions recompute r∘iD inline; a Mosaic dot that
+# takes the product as an operand forces a materialization pass (+4.6
+# ms/step), and even the fused `mode='rid'` form re-reading r/iD costs
+# ~1.9 ms/step over XLA (scripts/ab_reduce.py, docs/PERF.md round 5) —
+# in-program Mosaic reduce calls don't beat XLA's fused reduces here.
+KDOT = False
+
+# Fused PCG axpy-pair + next-rho sweep (attic.pcg_axpy_pallas): also a
+# measured LOSS (+7.3 ms/step at 256³, ab_reduce.py) — the hypothesis
+# that an in-kernel reduce riding a streaming sweep would pay (like the
+# matvec's with_dot) does not hold for a pure elementwise sweep: XLA's
+# axpy fusions are faster than the Mosaic 5-stream kernel.
+KAXPY = False
+
+
+def fdot(lev: PoissonLevel, a, b):
+    """Solver dot products: the blocked partial-sum kernel on blocked
+    levels (XLA's multiply_reduce over the tiled 258³ streams measures
+    ~200-340 GB/s vs ~600 for the matvec kernels in the same program —
+    round-5 device profile, docs/PERF.md), `grid.field_dot` elsewhere.
+    Operands must be ghost-zero (r/z/eps all are); results differ from
+    field_dot only in sum association."""
+    if KDOT and lev.blocked:
+        from .attic import dot3d_pallas
+        return dot3d_pallas(a, b, a.shape)
+    return field_dot(a, b)
+
+
+def _rho_rid(lev: PoissonLevel, r, z):
+    """⟨r, r∘iD⟩ for the PCG rho/rho2 given the (possibly traced-through)
+    ``z = r∘iD``.  The kernel path re-reads r/iD instead of taking z —
+    forcing z to materialize costs a full HBM pass per dot (z otherwise
+    only feeds the fused eps update), measured +4.6 ms/step at 256³
+    (scripts/ab_reduce.py round-5 first attempt)."""
+    if KDOT and lev.blocked:
+        from .attic import dot3d_pallas
+        iD = lev.iD16 if lev.iD16 is not None else lev.iD
+        return dot3d_pallas(r, iD, r.shape, mode="rid")
+    return field_dot(r, z)
+
+
 def pcg(lev: PoissonLevel, x, r, it: int = 6):
     """Jacobi-preconditioned conjugate gradient smoother.
 
@@ -428,7 +470,7 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
 
     z = _rid(lev, r)
     eps = z.astype(jnp.bfloat16) if lev.bf16_eps else z
-    rho = field_dot(r, z)
+    rho = _rho_rid(lev, r, z)
     dead = jnp.abs(rho) < teneps
 
     for i in range(it):
@@ -446,12 +488,23 @@ def pcg(lev: PoissonLevel, x, r, it: int = 6):
                           rho / jnp.where(denom == 0, 1.0, denom)).astype(dt)
         dead = dead | (jnp.abs(alpha) < 1e-2) | (jnp.abs(alpha) > 1e2)
         upd = jnp.where(dead, 0.0, alpha).astype(dt)
-        x = x + upd * eps
-        r = r - upd * z
-        if i == it - 1:
-            break
-        z2 = _rid(lev, r)
-        rho2 = field_dot(r, z2)
+        last = i == it - 1
+        if KAXPY and lev.blocked and not last:
+            # axpy pair + next rho in one streaming kernel (in-kernel
+            # reduce rides the sweep — see pcg_axpy_pallas); z2 for the
+            # eps rebuild below is recomputed by XLA inside that fusion,
+            # exactly as on the XLA path (never materialized)
+            from .attic import pcg_axpy_pallas
+            iDk = lev.iD16 if lev.iD16 is not None else lev.iD
+            x, r, rho2 = pcg_axpy_pallas(x, r, eps, z, iDk, upd)
+            z2 = _rid(lev, r)
+        else:
+            x = x + upd * eps
+            r = r - upd * z
+            if last:
+                break
+            z2 = _rid(lev, r)
+            rho2 = _rho_rid(lev, r, z2)
         dead = dead | (jnp.abs(rho2) < teneps)
         beta = jnp.where(dead, 0.0, rho2 / jnp.where(rho == 0, 1.0, rho)).astype(dt)
         # no full-array freeze of eps/z is needed once dead: the scalar
@@ -495,12 +548,12 @@ def poisson_solve(lev: PoissonLevel, x, z, tol=1e-4, itmx=1000, smoother=smooth)
     def body(c):
         x, r, n, r2p, _ = c
         x, r = smoother(lev, x, r)
-        r2 = field_dot(r, r)
+        r2 = fdot(lev, r, r)
         # divergence safeguard (see ml_solve): exit when an iteration
         # doubles r·r instead of amplifying to NaN when tol is unattainable
         return (x, r, n + 1, r2, r2 > 2.0 * r2p)
 
     x, r, n, r2, _ = jax.lax.while_loop(
-        cond, body, (x, r, jnp.int32(0), field_dot(r, r), False))
+        cond, body, (x, r, jnp.int32(0), fdot(lev, r, r), False))
     x = bc_scalar_periodic(x, lev.perdir)
     return x, r, n
