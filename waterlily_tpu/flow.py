@@ -191,6 +191,7 @@ def project(levels, u, p, dt_eff, cfg):
 
 
 CFL_PALLAS = True  # A/B knob (scripts/ab_reduce.py); kernel is bitwise-equal
+CONV_BDIM_REGION = True  # sharded conv+BDIM one-region path (A/B knob)
 
 
 def cfl(u, nu, dt_max=10.0, pallas_ok=False):
@@ -236,16 +237,30 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     pal = not cfg.implicit_diff
     fok = not cfg.sharded and pal
 
+    # sharded fast path: conv + accelerate + BDIM as ONE shard_map region
+    # (GSPMD's XLA forms of the dense blend cost ~3× their traffic bound
+    # on sharded layouts — round-5 device profile, docs/PERF.md)
+    shard_cb = False
+    if CONV_BDIM_REGION and cfg.sharded and cfg.mesh is not None \
+            and not banded:
+        from .parallel.shard_smooth import can_shardmap
+        shard_cb = can_shardmap(cfg.mesh, cfg.S, cfg.perdir)
+
     # predictor u -> u'
-    r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh,
-                  pallas_ok=pal)
-    r = accelerate(r, t, cfg.g, cfg.U, dtype)
-    if banded:
-        u = bdim_banded(cfg, state.bbox, None, u0, r,
-                        state.V, state.mu0, state.mu1, dt)
+    if shard_cb:
+        from .parallel.shard_step import shardmap_conv_bdim
+        u = shardmap_conv_bdim(cfg, u0, u0, state.V, state.mu0, state.mu1,
+                               dt, t, None, pallas=None if pal else "off")
     else:
-        u = jnp.where(imask, 0.0, u0)                # scale_u!(a, 0)
-        u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
+        r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded,
+                      cfg.mesh, pallas_ok=pal)
+        r = accelerate(r, t, cfg.g, cfg.U, dtype)
+        if banded:
+            u = bdim_banded(cfg, state.bbox, None, u0, r,
+                            state.V, state.mu0, state.mu1, dt)
+        else:
+            u = jnp.where(imask, 0.0, u0)            # scale_u!(a, 0)
+            u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
     if cfg.exitBC:
         u = exit_bc(u, u0, U, dt)
@@ -253,15 +268,19 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
 
     # corrector u -> u¹
-    r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded, cfg.mesh,
-                  pallas_ok=pal)
-    r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
-    if banded:
-        u = bdim_banded(cfg, state.bbox, u, u0, r,
-                        state.V, state.mu0, state.mu1, dt, scale=0.5)
+    if shard_cb:
+        u = shardmap_conv_bdim(cfg, u, u0, state.V, state.mu0, state.mu1,
+                               dt, t + dt, 0.5, pallas=None if pal else "off")
     else:
-        u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
-        u = jnp.where(imask, 0.5 * u, u)             # scale_u!(a, 0.5)
+        r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded,
+                      cfg.mesh, pallas_ok=pal)
+        r = accelerate(r, t + dt, cfg.g, cfg.U, dtype)
+        if banded:
+            u = bdim_banded(cfg, state.bbox, u, u0, r,
+                            state.V, state.mu0, state.mu1, dt, scale=0.5)
+        else:
+            u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
+            u = jnp.where(imask, 0.5 * u, u)         # scale_u!(a, 0.5)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
     u, p, (n2, tr2) = project(levels, u, p, 0.5 * dt, cfg)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)

@@ -38,7 +38,51 @@ from .shard_smooth import (can_shardmap, conv_diff_local, _auto_pallas,
                            _spatial_names)
 from .shard_solve import ml_solve_local, replicate_level
 
-__all__ = ["shardmap_mom_step", "can_shard_step", "bc_vector_local"]
+__all__ = ["shardmap_mom_step", "can_shard_step", "bc_vector_local",
+           "shardmap_conv_bdim"]
+
+
+def shardmap_conv_bdim(cfg, u_in, u0, V, mu0, mu1, dt, t_eff, scale,
+                       pallas: str | None = None):
+    """conv_diff + accelerate + BDIM blend in ONE shard_map region.
+
+    The middle granularity between per-phase regions and the whole-step
+    region: the round-5 device profile shows GSPMD's XLA forms of the
+    dense BDIM blend cost ~3× their traffic bound on a sharded layout
+    (~10 ms/call at 256³ — the μ₁ contraction re-shards its shifted
+    operands), while the same blend as per-shard local slices of one
+    halo-exchanged ``f`` runs at the dense cost.  Folding it into the
+    conv region (already Mosaic-bearing, already paid for) removes those
+    forms without the whole-step region's losing halo-concat chain.
+
+    ``scale=None`` is the predictor (``scale_u!(a,0)`` + BDIM!,
+    src/Flow.jl:131-135,157-160: interior := blend, ghosts keep u0);
+    ``scale=0.5`` is the corrector (interior := 0.5·(u_in + blend)).
+    """
+    mesh = cfg.mesh
+    D, S, dtype = cfg.D, cfg.S, cfg.dtype
+    sc, vec = spatial_specs(mesh, D)
+    ten = P(*([None, None] + list(vec[1:])))
+    rep = P()
+    if pallas is None:
+        pallas = _auto_pallas(mesh, S, dtype, extra=4)
+    from ..ops.convect import accelerate
+
+    def local(u_l, u0_l, V_l, mu0_l, mu1_l, dt_l, t_l):
+        r = conv_diff_local(mesh, S, u_l, cfg.nu, cfg.limiter, pallas,
+                            cfg.perdir)
+        r = accelerate(r, t_l, cfg.g, cfg.U, dtype)
+        blend = _bdim_blend_local(mesh, S, u0_l, r, V_l, mu0_l, mu1_l, dt_l)
+        gmask = ghost_mask_local(mesh, S, u_l.shape[1:])
+        if scale is None:
+            return jnp.where(gmask[None], blend, u0_l)
+        return jnp.where(gmask[None], scale * (u_l + blend), u_l)
+
+    fn = get_shard_map()(local, mesh=mesh,
+                         in_specs=(vec, vec, vec, vec, ten, rep, rep),
+                         out_specs=vec, check_vma=False)
+    return fn(u_in, u0, V, mu0, mu1,
+              jnp.asarray(dt, dtype), jnp.asarray(t_eff, dtype))
 
 
 # Default OFF: the whole-step region measured SLOWER than the one-region
