@@ -192,6 +192,12 @@ def project(levels, u, p, dt_eff, cfg):
 
 CFL_PALLAS = True  # A/B knob (scripts/ab_reduce.py); kernel is bitwise-equal
 CONV_BDIM_REGION = True  # sharded conv+BDIM one-region path (A/B knob)
+# Folding the post-BDIM BC into the conv+BDIM region: measured LOSS
+# (+20 ms/step at 256³ 1-dev mesh — bc_vector_local's global-index
+# where-select cascade costs ~10 ms/call in-region vs 2.7 ms for GSPMD's
+# DUS chains; the same select-cascade penalty round 3 measured on the
+# dense path, and a big part of why the whole-step region loses).
+BC_IN_REGION = False
 
 
 def cfl(u, nu, dt_max=10.0, pallas_ok=False):
@@ -250,7 +256,8 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
     if shard_cb:
         from .parallel.shard_step import shardmap_conv_bdim
         u = shardmap_conv_bdim(cfg, u0, u0, state.V, state.mu0, state.mu1,
-                               dt, t, None, pallas=None if pal else "off")
+                               dt, t, None, pallas=None if pal else "off",
+                               bc=U if BC_IN_REGION else None)
     else:
         r = conv_diff(u0, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded,
                       cfg.mesh, pallas_ok=pal)
@@ -261,16 +268,18 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
         else:
             u = jnp.where(imask, 0.0, u0)            # scale_u!(a, 0)
             u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
-    if cfg.exitBC:
-        u = exit_bc(u, u0, U, dt)
+    if not (shard_cb and BC_IN_REGION):
+        u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
+        if cfg.exitBC:
+            u = exit_bc(u, u0, U, dt)
     u, p, (n1, tr1) = project(levels, u, p, dt, cfg)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
 
     # corrector u -> u¹
     if shard_cb:
         u = shardmap_conv_bdim(cfg, u, u0, state.V, state.mu0, state.mu1,
-                               dt, t + dt, 0.5, pallas=None if pal else "off")
+                               dt, t + dt, 0.5, pallas=None if pal else "off",
+                               bc=U if BC_IN_REGION else None)
     else:
         r = conv_diff(u, cfg.nu, cfg.perdir, cfg.limiter, cfg.sharded,
                       cfg.mesh, pallas_ok=pal)
@@ -281,7 +290,8 @@ def mom_step(cfg: FlowConfig, levels, state: FlowState):
         else:
             u = bdim(u, u0, r, state.V, state.mu0, state.mu1, dt)
             u = jnp.where(imask, 0.5 * u, u)         # scale_u!(a, 0.5)
-    u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
+    if not (shard_cb and BC_IN_REGION):
+        u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
     u, p, (n2, tr2) = project(levels, u, p, 0.5 * dt, cfg)
     u = bc_vector(u, U, cfg.exitBC, cfg.perdir, fuse_ok=fok)
 

@@ -43,7 +43,7 @@ __all__ = ["shardmap_mom_step", "can_shard_step", "bc_vector_local",
 
 
 def shardmap_conv_bdim(cfg, u_in, u0, V, mu0, mu1, dt, t_eff, scale,
-                       pallas: str | None = None):
+                       pallas: str | None = None, bc=None):
     """conv_diff + accelerate + BDIM blend in ONE shard_map region.
 
     The middle granularity between per-phase regions and the whole-step
@@ -58,6 +58,12 @@ def shardmap_conv_bdim(cfg, u_in, u0, V, mu0, mu1, dt, t_eff, scale,
     ``scale=None`` is the predictor (``scale_u!(a,0)`` + BDIM!,
     src/Flow.jl:131-135,157-160: interior := blend, ghosts keep u0);
     ``scale=0.5`` is the corrector (interior := 0.5·(u_in + blend)).
+
+    ``bc=U`` additionally applies the post-BDIM boundary conditions
+    inside the region (`bc_vector_local` + `exit_bc_local` when
+    ``cfg.exitBC`` and ``scale is None``) — the sequential-stage BC is
+    communication-free per shard, so riding the already-paid region
+    replaces GSPMD's DUS chains.
     """
     mesh = cfg.mesh
     D, S, dtype = cfg.D, cfg.S, cfg.dtype
@@ -68,21 +74,31 @@ def shardmap_conv_bdim(cfg, u_in, u0, V, mu0, mu1, dt, t_eff, scale,
         pallas = _auto_pallas(mesh, S, dtype, extra=4)
     from ..ops.convect import accelerate
 
-    def local(u_l, u0_l, V_l, mu0_l, mu1_l, dt_l, t_l):
+    def local(u_l, u0_l, V_l, mu0_l, mu1_l, dt_l, t_l, U_l):
         r = conv_diff_local(mesh, S, u_l, cfg.nu, cfg.limiter, pallas,
                             cfg.perdir)
         r = accelerate(r, t_l, cfg.g, cfg.U, dtype)
         blend = _bdim_blend_local(mesh, S, u0_l, r, V_l, mu0_l, mu1_l, dt_l)
         gmask = ghost_mask_local(mesh, S, u_l.shape[1:])
         if scale is None:
-            return jnp.where(gmask[None], blend, u0_l)
-        return jnp.where(gmask[None], scale * (u_l + blend), u_l)
+            un = jnp.where(gmask[None], blend, u0_l)
+        else:
+            un = jnp.where(gmask[None], scale * (u_l + blend), u_l)
+        if bc is not None:
+            A = tuple(U_l[i] for i in range(D))
+            un = bc_vector_local(mesh, S, un, A, cfg.exitBC,
+                                 perdir=cfg.perdir)
+            if cfg.exitBC and scale is None:
+                un = exit_bc_local(mesh, S, un, u0_l, A, dt_l)
+        return un
 
+    U_arr = (jnp.stack([jnp.asarray(a, dtype) for a in bc])
+             if bc is not None else jnp.zeros((D,), dtype))
     fn = get_shard_map()(local, mesh=mesh,
-                         in_specs=(vec, vec, vec, vec, ten, rep, rep),
+                         in_specs=(vec, vec, vec, vec, ten, rep, rep, rep),
                          out_specs=vec, check_vma=False)
     return fn(u_in, u0, V, mu0, mu1,
-              jnp.asarray(dt, dtype), jnp.asarray(t_eff, dtype))
+              jnp.asarray(dt, dtype), jnp.asarray(t_eff, dtype), U_arr)
 
 
 # Default OFF: the whole-step region measured SLOWER than the one-region
