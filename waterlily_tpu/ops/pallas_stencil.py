@@ -815,6 +815,13 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
 
         fi = tap(i, 0)
 
+        # The upper-face flux of cell k IS the lower-face flux of cell
+        # k+1 (face-position specials are in-expression via ``kf``), so
+        # one block-wide face evaluation + a roll replaces the second
+        # limiter evaluation — the kernel is VPU-bound (round-5 profile),
+        # and this halves the flux compute of the two in-block sweeps.
+        # The roll's wrap row lands only at the top global ghost (outside
+        # ``supp``) or under the explicit top-face where-override.
         if j in perdir and modular:
             # modular pad planes hold the wrap values: uniform formula
             def fluxpm(s):
@@ -824,8 +831,9 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
                 neg = limiter(roll(fi, s + 1), f, fm1)
                 return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
 
-            acc = acc + jnp.where(supp, fluxpm(0), 0.0)
-            acc = acc - jnp.where(supp, fluxpm(1), 0.0)
+            F0 = fluxpm(0)
+            acc = acc + jnp.where(supp, F0, 0.0)
+            acc = acc - jnp.where(supp, roll(F0, 1), 0.0)
             continue
         if j in perdir:
             # whole planes live in VMEM: the ϕuP wrap is an in-block slice
@@ -842,9 +850,11 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
             F0 = fluxp(0)
             acc = acc + jnp.where(supp, F0, 0.0)
             # top-face flux copies face 1's (periodic calls are whole-grid,
-            # so local plane 1 IS global plane 1)
+            # so local plane 1 IS global plane 1); elsewhere the roll of
+            # F0 IS fluxp(1) (face specials are positional via ``kf``)
             F1 = jnp.where(kf + 1 == S_glob[j] - 1,
-                           jax.lax.slice_in_dim(F0, 1, 2, axis=j), fluxp(1))
+                           jax.lax.slice_in_dim(F0, 1, 2, axis=j),
+                           roll(F0, 1))
             acc = acc - jnp.where(supp, F1, 0.0)
             continue
 
@@ -858,8 +868,9 @@ def _conv_comp_kernel(S, S_glob, B, nu, limiter, dtype, i, bases, perdir,
                             limiter(roll(fi, s + 1), f, fm1))
             return jnp.where(w > 0, w * pos, w * neg) - nu * (f - fm1)
 
-        acc = acc + jnp.where(supp, flux(0), 0.0)
-        acc = acc - jnp.where(supp, flux(1), 0.0)
+        F0 = flux(0)
+        acc = acc + jnp.where(supp, F0, 0.0)
+        acc = acc - jnp.where(supp, roll(F0, 1), 0.0)
     out_ref[...] = acc.astype(dtype)
 
 
